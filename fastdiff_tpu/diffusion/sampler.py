@@ -1,0 +1,101 @@
+"""Reverse-diffusion sampling as a single ``lax.scan`` on device.
+
+The reference runs a Python loop issuing one forward per step with host
+round-trips (reference: modules/FastDiff/module/util.py:211-229). Here the
+whole reverse process is one compiled program: per-step constants
+(beta, alpha, sigma, fractional step) are stacked and scanned over, noise is
+drawn with ``jax.random`` inside the scan, and the denoiser call is traced
+once. One compile per (N, audio-length) pair, then pure device execution —
+this is where the vocoder's RTF comes from.
+
+Update rule (ancestral / DDPM variant, util.py:226-229):
+
+    x <- (x - beta_n / sqrt(1 - alpha_n^2) * eps_theta(x, mel, t_n))
+         / sqrt(1 - beta_n)
+    x <- x + sigma_n * z          (all but the final step)
+
+DDIM variant (util.py:219-224) is also provided.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from fastdiff_tpu.diffusion.schedules import SamplerConstants
+
+
+def sampling_given_noise_schedule(
+        denoise_fn: Callable,
+        key: jax.Array,
+        mel: jnp.ndarray,
+        constants: SamplerConstants,
+        audio_length: int,
+        ddim: bool = False,
+        return_sequence: bool = False):
+    """Generate waveforms: mel (B, T', n_mels) -> (B, audio_length, 1).
+
+    ``denoise_fn(x, mel, t)`` is the epsilon model; ``constants`` come from
+    ``sampler_constants_for_schedule`` (index 0 = most-noisy step first).
+    """
+    batch = mel.shape[0]
+    n_steps = constants.n_steps
+    beta = jnp.asarray(constants.beta)
+    alpha = jnp.asarray(constants.alpha)
+    sigma = jnp.asarray(constants.sigma)
+    steps = jnp.asarray(constants.steps)
+
+    key, sub = jax.random.split(key)
+    x = jax.random.normal(sub, (batch, audio_length, 1), dtype=jnp.float32)
+
+    step_keys = jax.random.split(key, n_steps)
+
+    def reverse_step(x, scan_in):
+        i, k = scan_in
+        b_n, a_n, s_n, t_n = beta[i], alpha[i], sigma[i], steps[i]
+        t_vec = jnp.full((batch, 1), t_n, dtype=jnp.float32)
+        eps = denoise_fn(x, mel, t_vec)
+        if ddim:
+            a_next = a_n / jnp.sqrt(1.0 - b_n)
+            c1 = a_next / a_n
+            c2 = -jnp.sqrt(1.0 - a_n ** 2) * c1
+            c3 = jnp.sqrt(1.0 - a_next ** 2)
+            x = c1 * x + (c2 + c3) * eps
+        else:
+            x = x - b_n / jnp.sqrt(1.0 - a_n ** 2) * eps
+            x = x / jnp.sqrt(1.0 - b_n)
+            is_last = i == n_steps - 1
+            noise = jax.random.normal(k, x.shape, dtype=x.dtype)
+            x = jnp.where(is_last, x, x + s_n * noise)
+        return x, x if return_sequence else None
+
+    idx = jnp.arange(n_steps)
+    x, seq = jax.lax.scan(reverse_step, x, (idx, step_keys))
+    if return_sequence:
+        return seq
+    return x
+
+
+@functools.partial(jax.jit, static_argnames=("denoise_fn", "audio_length",
+                                             "n_steps", "ddim"))
+def _jitted_sample(denoise_fn, key, mel, beta, alpha, sigma, steps,
+                   audio_length, n_steps, ddim):
+    constants = SamplerConstants(beta=beta, alpha=alpha, sigma=sigma, steps=steps)
+    return sampling_given_noise_schedule(
+        denoise_fn, key, mel, constants, audio_length, ddim=ddim)
+
+
+def make_sampler(denoise_fn: Callable, constants: SamplerConstants,
+                 ddim: bool = False) -> Callable:
+    """Return ``sample(key, mel, audio_length) -> wav`` with jit caching per
+    (audio_length, batch) bucket."""
+    def sample(key, mel, audio_length: int):
+        return _jitted_sample(
+            denoise_fn, key, mel,
+            jnp.asarray(constants.beta), jnp.asarray(constants.alpha),
+            jnp.asarray(constants.sigma), jnp.asarray(constants.steps),
+            audio_length, constants.n_steps, ddim)
+    return sample

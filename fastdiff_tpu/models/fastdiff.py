@@ -1,0 +1,248 @@
+"""FastDiff denoiser: the time-aware LVC epsilon-prediction network.
+
+Functional re-design of the reference architecture
+(reference: modules/FastDiff/module/FastDiff_model.py:10-102,
+modules/FastDiff/module/modules.py:116-343):
+
+    input conv (k=7, 1->32)
+      -> 3 DiffusionDBlocks (downsample x4, x8, x8; T -> T/256), skips saved
+      -> 3 TimeAware LVC blocks (upsample x8, x8, x4; back to T),
+         each conditioned on (mel + per-block projection of the diffusion-step
+         embedding) through a KernelPredictor that emits per-frame LVC kernels
+      -> output conv (k=7, 32->1)
+
+Diffusion-step embedding: 128-d sinusoid of the (possibly fractional) step t,
+through two swish MLP layers to 512-d (FastDiff_model.py:84-87; fractional t
+comes from the alpha->t interpolation at util.py:394-404).
+
+All activations are NWC (B, T, C); parameters are plain pytrees created by
+``init_fastdiff`` and consumed by the pure ``fastdiff_apply``. Under
+``cfg.compute_dtype == 'bfloat16'`` convolutions/matmuls run in bf16 with f32
+accumulation; diffusion arithmetic around the network stays f32.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastdiff_tpu.config import ModelConfig
+from fastdiff_tpu.ops import nn as fnn
+from fastdiff_tpu.ops.lvc import lvc_gated_residual
+
+# ---------------------------------------------------------------------------
+# Diffusion step embedding
+# ---------------------------------------------------------------------------
+
+def diffusion_step_embedding(t: jnp.ndarray, dim: int) -> jnp.ndarray:
+    """Sinusoidal embedding of (fractional) diffusion steps t: (B, 1) -> (B, dim).
+
+    [sin(t * 10^(-4i/(half-1))), ..., cos(...)] exactly as util.py:407-432;
+    t is float — inference uses fractional steps.
+    """
+    half = dim // 2
+    freqs = jnp.exp(np.log(10000.0) / (half - 1) * -jnp.arange(half, dtype=jnp.float32))
+    args = t.astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Parameter init
+# ---------------------------------------------------------------------------
+
+def _init_kernel_predictor(key, cfg: ModelConfig) -> dict:
+    """KernelPredictor params (reference: modules.py:257-318).
+
+    A small conv net over the conditioning mel that predicts, per mel frame,
+    the LVC kernels (layers * Cin * 2Cin * K channels) and biases
+    (layers * 2Cin channels).
+    """
+    cin = cfg.inner_channels
+    cout = 2 * cfg.inner_channels
+    layers = cfg.lvc_layers_each_block
+    k = cfg.lvc_kernel_size
+    hidden = cfg.kpnet_hidden_channels
+    ksz = cfg.kpnet_conv_size
+    l_w = cin * cout * k * layers
+    l_b = cout * layers
+    keys = jax.random.split(key, 9)
+    wn = cfg.use_weight_norm
+    return {
+        "input_conv": fnn.conv1d_init(keys[0], cfg.cond_channels, hidden, 5, wn),
+        "residual_convs": [
+            fnn.conv1d_init(keys[1 + i], hidden, hidden, ksz, wn)
+            for i in range(6)
+        ],
+        "kernel_conv": fnn.conv1d_init(keys[7], hidden, l_w, ksz, wn),
+        "bias_conv": fnn.conv1d_init(keys[8], hidden, l_b, ksz, wn),
+    }
+
+
+def _init_lvc_block(key, cfg: ModelConfig, ratio: int) -> dict:
+    """TimeAware LVC block params (reference: modules.py:141-187)."""
+    c = cfg.inner_channels
+    keys = jax.random.split(key, 4 + cfg.lvc_layers_each_block)
+    wn = cfg.use_weight_norm
+    return {
+        "upsample": fnn.conv_transpose1d_init(keys[0], c, c, ratio * 2, wn),
+        "fc_t": fnn.dense_init(keys[1], cfg.diffusion_step_embed_dim_out,
+                               cfg.cond_channels),
+        "kernel_predictor": _init_kernel_predictor(keys[2], cfg),
+        "convs": [
+            fnn.conv1d_init(keys[4 + i], c, c, cfg.lvc_kernel_size, wn)
+            for i in range(cfg.lvc_layers_each_block)
+        ],
+    }
+
+
+def _init_dblock(key, cfg: ModelConfig) -> dict:
+    """DiffusionDBlock params (reference: modules.py:116-125)."""
+    c = cfg.inner_channels
+    keys = jax.random.split(key, 4)
+    wn = cfg.use_weight_norm
+    return {
+        "residual_dense": fnn.conv1d_init(keys[0], c, c, 1, wn),
+        "convs": [fnn.conv1d_init(keys[1 + i], c, c, 3, wn) for i in range(3)],
+    }
+
+
+def init_fastdiff(key, cfg: ModelConfig) -> dict:
+    """Build the full FastDiff parameter pytree."""
+    n_blocks = len(cfg.upsample_ratios)
+    keys = jax.random.split(key, 4 + 2 * n_blocks)
+    params = {
+        "first_audio_conv": fnn.conv1d_init(
+            keys[0], cfg.audio_channels, cfg.inner_channels, 7, cfg.use_weight_norm),
+        "final_conv": fnn.conv1d_init(
+            keys[1], cfg.inner_channels, cfg.audio_channels, 7, cfg.use_weight_norm),
+        "fc_t1": fnn.dense_init(keys[2], cfg.diffusion_step_embed_dim_in,
+                                cfg.diffusion_step_embed_dim_mid),
+        "fc_t2": fnn.dense_init(keys[3], cfg.diffusion_step_embed_dim_mid,
+                                cfg.diffusion_step_embed_dim_out),
+        "lvc_blocks": [
+            _init_lvc_block(keys[4 + i], cfg, cfg.upsample_ratios[i])
+            for i in range(n_blocks)
+        ],
+        # downsample[n] uses the *reversed* ratio order (FastDiff_model.py:63)
+        "downsample": [
+            _init_dblock(keys[4 + n_blocks + i], cfg)
+            for i in range(n_blocks)
+        ],
+    }
+    return params
+
+
+def num_params(params) -> int:
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+# ---------------------------------------------------------------------------
+# Apply
+# ---------------------------------------------------------------------------
+
+def _kernel_predictor_apply(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
+                            dtype) -> tuple:
+    """cond (B, T', cond_ch) -> kernels (B, layers, T', K, Cin, 2Cin),
+    biases (B, layers, T', 2Cin).
+
+    The big kernel_conv is a (T' x 3*hidden) @ (3*hidden x l_w) matmul — the
+    single largest MXU op in the model.
+    """
+    cin = cfg.inner_channels
+    cout = 2 * cfg.inner_channels
+    layers = cfg.lvc_layers_each_block
+    k = cfg.lvc_kernel_size
+
+    c = fnn.conv1d(p["input_conv"], cond, compute_dtype=dtype)
+    c = fnn.leaky_relu(c, 0.1)
+    r = c
+    for conv in p["residual_convs"]:
+        r = fnn.conv1d(conv, r, compute_dtype=dtype)
+        r = fnn.leaky_relu(r, 0.1)
+    c = c + r
+    kw = fnn.conv1d(p["kernel_conv"], c, compute_dtype=dtype)
+    kb = fnn.conv1d(p["bias_conv"], c, compute_dtype=dtype)
+
+    b, frames, _ = kw.shape
+    # torch channel order of the prediction is C-order (layers, Cin, Cout, K)
+    # (modules.py:333-338); transpose into our LVC layout (..., K, Cin, Cout).
+    kernels = kw.reshape(b, frames, layers, cin, cout, k)
+    kernels = kernels.transpose(0, 2, 1, 5, 3, 4)
+    biases = kb.reshape(b, frames, layers, cout).transpose(0, 2, 1, 3)
+    return kernels, biases
+
+
+def _dblock_apply(p: dict, x: jnp.ndarray, factor: int, dtype) -> jnp.ndarray:
+    """DiffusionDBlock: nearest-downsample + 3 dilated convs + 1x1 residual
+    (reference: modules.py:127-138)."""
+    residual = fnn.conv1d(p["residual_dense"], x, compute_dtype=dtype)
+    residual = fnn.nearest_downsample(residual, factor)
+    x = fnn.nearest_downsample(x, factor)
+    for i, conv in enumerate(p["convs"]):
+        x = fnn.leaky_relu(x, 0.2)
+        x = fnn.conv1d(conv, x, dilation=2 ** i, compute_dtype=dtype)
+    return x + residual
+
+
+def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
+                     mel: jnp.ndarray, t_emb: jnp.ndarray, ratio: int,
+                     hop: int, cfg: ModelConfig, dtype) -> jnp.ndarray:
+    """TimeAware LVC block (reference: modules.py:190-218).
+
+    x (B, T/r, C) -> upsample x ratio -> 4 x [skip-add, dilated conv (3^i),
+    LVC with per-frame kernels, gated residual] -> (B, T, C).
+    """
+    noise = fnn.dense(p["fc_t"], t_emb, compute_dtype=dtype)     # (B, cond_ch)
+    cond = mel + noise[:, None, :].astype(mel.dtype)
+    kernels, biases = _kernel_predictor_apply(p["kernel_predictor"], cond, cfg, dtype)
+
+    x = fnn.leaky_relu(x, 0.2)
+    x = fnn.conv_transpose1d(
+        p["upsample"], x, stride=ratio,
+        torch_padding=ratio // 2 + ratio % 2, output_padding=ratio % 2,
+        compute_dtype=dtype)
+
+    for i in range(cfg.lvc_layers_each_block):
+        x = x + skip
+        y = fnn.leaky_relu(x, 0.2)
+        y = fnn.conv1d(p["convs"][i], y, dilation=3 ** i, compute_dtype=dtype)
+        y = fnn.leaky_relu(y, 0.2)
+        x = lvc_gated_residual(x, y, kernels[:, i].astype(dtype),
+                               biases[:, i].astype(jnp.float32), hop)
+    return x
+
+
+def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
+                   t: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
+    """Epsilon prediction: audio (B, T, 1), mel (B, T', n_mels), t (B, 1) float.
+
+    Returns (B, T, 1). Requires T == T' * prod(upsample_ratios).
+    """
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    emb = diffusion_step_embedding(t, cfg.diffusion_step_embed_dim_in)
+    emb = fnn.swish(fnn.dense(params["fc_t1"], emb))
+    emb = fnn.swish(fnn.dense(params["fc_t2"], emb))      # (B, 512) f32
+
+    x = fnn.conv1d(params["first_audio_conv"], audio.astype(dtype),
+                   compute_dtype=dtype)
+    skips = []
+    n_blocks = len(cfg.upsample_ratios)
+    # downsample[n] shrinks by upsample_ratios[n_blocks-1-n] (FastDiff_model.py:63)
+    for n, dblock in enumerate(params["downsample"]):
+        skips.append(x)
+        factor = cfg.upsample_ratios[n_blocks - 1 - n]
+        x = _dblock_apply(dblock, x, factor, dtype)
+
+    hops = cfg.cond_hop_lengths
+    for n, lvcb in enumerate(params["lvc_blocks"]):
+        skip = skips[n_blocks - 1 - n]
+        x = _lvc_block_apply(lvcb, x, skip, mel.astype(dtype), emb,
+                             cfg.upsample_ratios[n], hops[n], cfg, dtype)
+
+    out = fnn.conv1d(params["final_conv"], x, compute_dtype=dtype)
+    return out.astype(jnp.float32)

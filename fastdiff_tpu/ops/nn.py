@@ -1,0 +1,186 @@
+"""Functional NN primitives: conv1d, transposed conv1d, dense, weight norm.
+
+Design: parameter pytrees (plain dicts of jnp arrays) + pure apply functions.
+No module framework — the FastDiff denoiser is small and bespoke, and explicit
+pytrees make sharding annotation and torch-checkpoint import unambiguous.
+
+Layout: activations are NWC ``(batch, time, channels)`` — the TPU-canonical
+convolution layout. Conv weights are stored as ``(K, I, O)`` (WIO). Transposed
+conv weights are stored pre-flipped as ``(K, I, O)`` so upsampling lowers to a
+single ``conv_general_dilated`` with ``lhs_dilation`` (input dilation), which
+XLA maps onto the MXU directly.
+
+Torch-compatibility notes (for checkpoint import and training parity):
+- torch ``Conv1d`` weights are (O, I, K) -> ours is ``transpose(2, 1, 0)``.
+- torch ``ConvTranspose1d`` weights are (I, O, K); ours stores the kernel
+  flipped along K and transposed to (K, I, O); the padding arithmetic
+  reproduces torch's ``(L-1)*s - 2p + k + op`` output length exactly
+  (reference uses k=2r, s=r, p=r//2 + r%2, op=r%2 at
+  modules/FastDiff/module/modules.py:163-166, which is an exact x{r} upsample).
+- weight norm follows torch's ``dim=0`` convention: for Conv1d the norm is
+  per *output* channel over (I, K); for ConvTranspose1d per *input* channel
+  over (O, K) (reference applies weight norm to every conv,
+  modules/FastDiff/module/FastDiff_model.py:115-122).
+- initializers replicate torch defaults (kaiming-uniform with a=sqrt(5), i.e.
+  U(-1/sqrt(fan_in), 1/sqrt(fan_in)) for both weight and bias) so training
+  from scratch starts from the same distribution.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_DIMSPEC = ("NWC", "WIO", "NWC")
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-default-compatible)
+# ---------------------------------------------------------------------------
+
+def _uniform(key, shape, bound, dtype=jnp.float32):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def conv1d_init(key, in_ch: int, out_ch: int, kernel_size: int,
+                weight_norm: bool = False) -> dict:
+    """Init a conv1d parameter dict: {'w' or ('g','v'), 'b'}; w is (K, I, O)."""
+    kw, kb = jax.random.split(key)
+    fan_in = in_ch * kernel_size
+    bound = 1.0 / np.sqrt(fan_in)
+    w = _uniform(kw, (kernel_size, in_ch, out_ch), bound)
+    b = _uniform(kb, (out_ch,), bound)
+    if weight_norm:
+        # torch: g initialized to ||v|| per output channel (dim=0 of (O,I,K)).
+        g = jnp.sqrt(jnp.sum(w ** 2, axis=(0, 1)))
+        return {"v": w, "g": g, "b": b}
+    return {"w": w, "b": b}
+
+
+def conv_transpose1d_init(key, in_ch: int, out_ch: int, kernel_size: int,
+                          weight_norm: bool = False) -> dict:
+    """Init a transposed-conv1d dict; kernel stored flipped as (K, I, O).
+
+    torch fan_in for ConvTranspose1d is out_ch * kernel_size (weight shape
+    (I, O, K), init uses fan_in of dim-1 * K).
+    """
+    kw, kb = jax.random.split(key)
+    fan_in = out_ch * kernel_size
+    bound = 1.0 / np.sqrt(fan_in)
+    w = _uniform(kw, (kernel_size, in_ch, out_ch), bound)
+    b = _uniform(kb, (out_ch,), bound)
+    if weight_norm:
+        # torch dim=0 of (I, O, K) = per *input* channel, norm over (O, K).
+        g = jnp.sqrt(jnp.sum(w ** 2, axis=(0, 2)))
+        return {"v": w, "g": g, "b": b}
+    return {"w": w, "b": b}
+
+
+def dense_init(key, in_ch: int, out_ch: int) -> dict:
+    """Init a dense layer: w (I, O), b (O); torch nn.Linear defaults."""
+    kw, kb = jax.random.split(key)
+    bound = 1.0 / np.sqrt(in_ch)
+    return {"w": _uniform(kw, (in_ch, out_ch), bound),
+            "b": _uniform(kb, (out_ch,), bound)}
+
+
+# ---------------------------------------------------------------------------
+# Weight-norm resolution
+# ---------------------------------------------------------------------------
+
+def conv_weight(params: dict) -> jnp.ndarray:
+    """Materialize the effective (K, I, O) conv kernel (fusing weight norm)."""
+    if "g" in params:
+        v = params["v"]
+        norm = jnp.sqrt(jnp.sum(v ** 2, axis=(0, 1), keepdims=True) + 1e-12)
+        return params["g"][None, None, :] * v / norm
+    return params["w"]
+
+
+def conv_transpose_weight(params: dict) -> jnp.ndarray:
+    """Effective (K, I, O) transposed-conv kernel (weight norm over (K, O))."""
+    if "g" in params:
+        v = params["v"]
+        norm = jnp.sqrt(jnp.sum(v ** 2, axis=(0, 2), keepdims=True) + 1e-12)
+        return params["g"][None, :, None] * v / norm
+    return params["w"]
+
+
+# ---------------------------------------------------------------------------
+# Apply functions
+# ---------------------------------------------------------------------------
+
+def conv1d(params: dict, x: jnp.ndarray, *, dilation: int = 1,
+           padding=None, stride: int = 1,
+           compute_dtype=None) -> jnp.ndarray:
+    """1-D convolution, NWC. ``padding=None`` -> torch-style 'same' for odd k."""
+    w = conv_weight(params)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    k = w.shape[0]
+    if padding is None:
+        pad = dilation * ((k - 1) // 2)
+        padding = [(pad, pad)]
+    elif isinstance(padding, int):
+        padding = [(padding, padding)]
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding=padding,
+        rhs_dilation=(dilation,), dimension_numbers=_DIMSPEC,
+        preferred_element_type=jnp.float32)
+    return y + params["b"][None, None, :].astype(y.dtype)
+
+
+def conv_transpose1d(params: dict, x: jnp.ndarray, *, stride: int,
+                     torch_padding: int, output_padding: int = 0,
+                     compute_dtype=None) -> jnp.ndarray:
+    """Transposed 1-D convolution with torch output-length semantics.
+
+    Implemented as an input-dilated convolution: insert (stride-1) zeros
+    between samples, pad both edges by (k-1-torch_padding) (+output_padding
+    on the right), correlate with the stored (already flipped) kernel.
+    Output length = (L-1)*stride - 2*torch_padding + k + output_padding.
+    """
+    w = conv_transpose_weight(params)
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    k = w.shape[0]
+    lo = k - 1 - torch_padding
+    hi = k - 1 - torch_padding + output_padding
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(lo, hi)],
+        lhs_dilation=(stride,), dimension_numbers=_DIMSPEC,
+        preferred_element_type=jnp.float32)
+    return y + params["b"][None, None, :].astype(y.dtype)
+
+
+def dense(params: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    y = jnp.dot(x, w, preferred_element_type=jnp.float32)
+    return y + params["b"].astype(y.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Activations
+# ---------------------------------------------------------------------------
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def leaky_relu(x, slope=0.2):
+    return jnp.where(x >= 0, x, slope * x)
+
+
+def nearest_downsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """torch ``F.interpolate(size=T//factor)`` (nearest) == strided slice.
+
+    For integer downsample factors, torch nearest picks index
+    floor(t * in/out) = t*factor (reference: modules.py:131-133).
+    """
+    return x[:, ::factor, :]

@@ -1,0 +1,79 @@
+"""Device-mesh construction and sharding helpers.
+
+The TPU-native replacement for the reference's NCCL process-per-GPU DDP
+(reference: utils/trainer.py:94-96,442-477, utils/ddp_utils.py): one process
+per host, a ``jax.sharding.Mesh`` over all chips, batch-axis NamedSharding on
+inputs, replicated parameters, and XLA-inserted ICI collectives for the
+gradient reduction — no explicit communication code at all.
+
+Mesh axes (config ``mesh_axes``): the first axis is the data-parallel axis
+``dp``. Additional axes (e.g. ``sp``, for time-axis sequence sharding of very
+long utterances at inference) can be declared in configs; the trainer only
+requires ``dp``.
+
+Multi-host: ``jax.distributed.initialize()`` must be called by the launcher
+before this module builds the mesh; ``jax.devices()`` then spans all hosts and
+data loading shards by ``jax.process_index()``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from fastdiff_tpu.config import MeshConfig
+
+
+def make_mesh(cfg: Optional[MeshConfig] = None) -> Mesh:
+    """Build the device mesh. Empty ``mesh_shape`` -> all devices on axis 0."""
+    cfg = cfg or MeshConfig()
+    devices = np.asarray(jax.devices())
+    axes = tuple(cfg.mesh_axes) or ("dp",)
+    shape = tuple(cfg.mesh_shape)
+    if not shape:
+        shape = (len(devices),) + (1,) * (len(axes) - 1)
+    if int(np.prod(shape)) != len(devices):
+        raise ValueError(
+            f"mesh_shape {shape} does not cover {len(devices)} devices")
+    return Mesh(devices.reshape(shape), axes)
+
+
+def batch_sharding(mesh: Mesh, axis: str = "dp") -> NamedSharding:
+    """Shard the leading (batch) dimension over the dp axis."""
+    return NamedSharding(mesh, P(axis))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh, axis: str = "dp") -> dict:
+    """Host arrays -> device arrays with batch-dim sharding over the mesh.
+
+    Arrays whose batch dim does not divide the dp axis (e.g. batch-1
+    validation / inference batches) are placed replicated instead — XLA then
+    runs them redundantly on every chip, which is the right trade for tiny
+    eval batches.
+    """
+    dp = mesh.shape[axis]
+    sharded = batch_sharding(mesh, axis)
+    repl = replicated(mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape") and v.ndim >= 1 and v.shape[0] % dp == 0:
+            out[k] = jax.device_put(v, sharded)
+        elif hasattr(v, "shape"):
+            out[k] = jax.device_put(v, repl)
+        else:
+            out[k] = v
+    return out
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated on the mesh (parameters, opt state)."""
+    sharding = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), tree)

@@ -1,0 +1,71 @@
+"""Headline benchmark: LJSpeech-style mel->waveform RTF at N=4 on one chip.
+
+Prints ONE JSON line:
+    {"metric": "realtime_factor_n4", "value": <x-times-realtime>,
+     "unit": "x_realtime", "vs_baseline": <value / 58.8>}
+
+Baseline: the FastDiff paper reports RTF 0.017 (~58.8x realtime) at N=4 on a
+V100 (BASELINE.md); the reference repo itself ships no benchmark code (its
+compute_rtf is dead code, modules/FastDiff/task/FastDiff.py:127-132).
+
+Measures steady-state wall-clock (after one compile+warmup call) for a
+10-second utterance, batch 1 — the reference's inference shape
+(batch 1 full utterances, tasks/vocoder/dataset_utils.py:56).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fastdiff_tpu.config import DiffusionConfig, ModelConfig
+    from fastdiff_tpu.diffusion import schedules
+    from fastdiff_tpu.diffusion.sampler import make_sampler
+    from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+
+    cfg = ModelConfig()
+    params = init_fastdiff(jax.random.PRNGKey(0), cfg)
+    hp = schedules.compute_hyperparams_given_schedule(
+        schedules.linear_beta_schedule(DiffusionConfig()))
+    const = schedules.sampler_constants_for_schedule(
+        schedules.noise_schedule_for_steps(4), hp)
+
+    def denoise(x, mel, t):
+        return fastdiff_apply(params, x, mel, t, cfg)
+
+    sampler = make_sampler(denoise, const)
+
+    sample_rate, hop = 22050, cfg.total_hop
+    frames = 864                       # ~10.03 s of audio
+    audio_len = frames * hop
+    mel = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, frames, 80)), jnp.float32)
+
+    # compile + warmup
+    sampler(jax.random.PRNGKey(1), mel, audio_len).block_until_ready()
+
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        sampler(jax.random.PRNGKey(2 + i), mel, audio_len).block_until_ready()
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    audio_seconds = audio_len / sample_rate
+    x_realtime = audio_seconds / dt
+
+    print(json.dumps({
+        "metric": "realtime_factor_n4",
+        "value": round(x_realtime, 2),
+        "unit": "x_realtime",
+        "vs_baseline": round(x_realtime / 58.8, 3),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

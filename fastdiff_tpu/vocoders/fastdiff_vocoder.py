@@ -1,0 +1,74 @@
+"""FastDiff as a registry vocoder: mel -> waveform via the diffusion sampler.
+
+The library-level synthesis API the reference demonstrates in its notebook
+(reference: egs/demo.ipynb: load ckpt -> schedule -> sampling_given_noise_
+schedule), packaged behind the vocoder registry so TTS pipelines can select
+it with ``vocoder: fastdiff`` the way the reference selects ``pwg``
+(reference: vocoders/base_vocoder.py + modules/FastDiff/config/base.yaml:112).
+Loads either a native framework checkpoint or a released torch checkpoint
+(``vocoder_ckpt`` hparam).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastdiff_tpu.config import DiffusionConfig, ModelConfig
+from fastdiff_tpu.diffusion import schedules
+from fastdiff_tpu.diffusion.sampler import make_sampler
+from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+from fastdiff_tpu.vocoders.base import BaseVocoder, register_vocoder
+
+
+@register_vocoder
+class FastDiff(BaseVocoder):
+    def __init__(self, hparams: dict = None):
+        super().__init__(hparams)
+        hp = self.hparams
+        self.model_cfg = ModelConfig.from_hparams(hp)
+        self.diff_cfg = DiffusionConfig.from_hparams(hp)
+        self.hyperparams = schedules.compute_hyperparams_given_schedule(
+            schedules.linear_beta_schedule(self.diff_cfg))
+        self.params = self._load_params(hp)
+        sched = schedules.resolve_noise_schedule(hp)
+        constants = schedules.sampler_constants_for_schedule(
+            sched, self.hyperparams)
+
+        cfg = self.model_cfg
+        params = self.params
+
+        def denoise(x, mel, t):
+            return fastdiff_apply(params, x, mel, t, cfg)
+
+        self._sampler = make_sampler(denoise, constants)
+        self._key = jax.random.PRNGKey(int(hp.get("seed", 1234)))
+
+    def _load_params(self, hp: dict):
+        ckpt = hp.get("vocoder_ckpt", "")
+        if ckpt and os.path.exists(ckpt):
+            if ckpt.endswith(".pt") or ckpt.endswith(".ckpt"):
+                try:
+                    from fastdiff_tpu.utils.ckpt_import import load_torch_checkpoint
+                    params = load_torch_checkpoint(ckpt, self.model_cfg)
+                    return jax.tree_util.tree_map(jnp.asarray, params)
+                except Exception:
+                    pass
+            from fastdiff_tpu.training.checkpoint import load_checkpoint
+            target = init_fastdiff(jax.random.PRNGKey(0), self.model_cfg)
+            state = load_checkpoint(ckpt, {"params": target})
+            return jax.tree_util.tree_map(jnp.asarray, state["params"])
+        print("| WARNING: no vocoder_ckpt given; FastDiff vocoder runs with "
+              "random weights.")
+        return init_fastdiff(jax.random.PRNGKey(0), self.model_cfg)
+
+    def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
+        """mel (T, n_mels) -> waveform (T * hop,)."""
+        mel = jnp.asarray(np.asarray(mel, dtype=np.float32))[None, ...]
+        hop = self.model_cfg.total_hop
+        self._key, sub = jax.random.split(self._key)
+        wav = self._sampler(sub, mel, mel.shape[1] * hop)
+        return np.asarray(wav)[0, :, 0]

@@ -127,6 +127,12 @@ class VocoderBinarizer:
         args = [(item_name, wav_fn, self.binarization_args, dict(self.hparams))
                 for item_name, wav_fn in meta]
         builder = IndexedDatasetBuilder(os.path.join(out_dir, prefix))
+        # v2 flat format for the native (C++) data path, written alongside
+        # the reference-compatible pickle format.
+        native_builder = None
+        if self.binarization_args.get("with_wav", True):
+            from fastdiff_tpu.data.native_io import NativeDatasetBuilder
+            native_builder = NativeDatasetBuilder(os.path.join(out_dir, prefix))
         lengths, total_sec = [], 0.0
         for item in chunked_multiprocess_run(
                 self.process_item, args, num_workers=self.num_workers):
@@ -135,9 +141,13 @@ class VocoderBinarizer:
             if not self.binarization_args.get("with_wav", True):
                 item.pop("wav", None)
             builder.add_item(item)
+            if native_builder is not None:
+                native_builder.add_item(item["mel"], item["wav"])
             lengths.append(item["len"])
             total_sec += item["sec"]
         builder.finalize()
+        if native_builder is not None:
+            native_builder.finalize()
         np.save(os.path.join(out_dir, f"{prefix}_lengths.npy"), lengths)
         print(f"| {prefix} total duration: {total_sec:.3f}s ({len(lengths)} items)")
 

@@ -162,22 +162,49 @@ def endless_index_stream(n_items: int, seed: int, shuffle: bool,
         epoch += 1
 
 
+def _try_native_loader(dataset: VocoderDataset):
+    """Open the C++ mmap loader for this split if the v2 files exist."""
+    if dataset._memory_items is not None or not dataset.data_dir:
+        return None
+    try:
+        from fastdiff_tpu.data.native_io import NativeBatchLoader
+        return NativeBatchLoader(os.path.join(dataset.data_dir, dataset.prefix))
+    except Exception:
+        return None
+
+
 def train_batch_iterator(dataset: VocoderDataset, batch_size: int,
                          max_frames: int, seed: int = 1234,
                          shard_id: int = 0, num_shards: int = 1,
                          endless: bool = True) -> Iterator[dict]:
-    """Yield fixed-shape training batches forever (or one epoch)."""
+    """Yield fixed-shape training batches forever (or one epoch).
+
+    Uses the native (C++ mmap, threaded) crop-collate when the v2 dataset
+    files are present; falls back to the Python pickle path otherwise.
+    """
     rng = np.random.default_rng(seed + 1000 * shard_id)
     hop = dataset.hop_size
     if endless:
+        native = _try_native_loader(dataset)
+        n_mels = None
         stream = endless_index_stream(len(dataset), seed, True,
                                       shard_id, num_shards)
         buf = []
         for idx in stream:
-            buf.append(dataset[idx])
-            if len(buf) == batch_size:
-                yield crop_batch(buf, max_frames, hop, rng)
-                buf = []
+            buf.append(idx)
+            if len(buf) < batch_size:
+                continue
+            if native is not None:
+                raw = np.asarray([dataset.avail_idxs[i] for i in buf], np.int64)
+                starts = np.asarray(
+                    [rng.integers(0, dataset.sizes[i] - max_frames)
+                     for i in buf], np.int64)
+                if n_mels is None:
+                    n_mels = int(np.asarray(dataset[buf[0]]["mel"]).shape[1])
+                yield native.load(raw, starts, max_frames, hop, n_mels)
+            else:
+                yield crop_batch([dataset[i] for i in buf], max_frames, hop, rng)
+            buf = []
     else:
         order = np.random.default_rng(seed).permutation(len(dataset))
         usable = (len(order) // num_shards) * num_shards

@@ -183,37 +183,44 @@ def mel_spectrogram_jax(wav: jnp.ndarray, cfg: AudioConfig) -> jnp.ndarray:
     return jnp.log(jnp.maximum(cfg.mel_eps, mel))
 
 
+@functools.lru_cache(maxsize=16)
+def _window_sumsquare(n_fft: int, hop_size: int, win_size: int,
+                      n_frames: int) -> np.ndarray:
+    """Host-precomputed overlap-added squared-window envelope (constant)."""
+    win = hann_window(win_size, n_fft).astype(np.float64) ** 2
+    total = n_fft + hop_size * (n_frames - 1)
+    out = np.zeros(total)
+    for f in range(n_frames):
+        out[f * hop_size: f * hop_size + n_fft] += win
+    return np.maximum(out, 1e-8).astype(np.float32)
+
+
 def istft_jax(spec: jnp.ndarray, phase: jnp.ndarray, n_fft: int, hop_size: int,
               win_size: int, length: int) -> jnp.ndarray:
     """Inverse STFT by windowed overlap-add with window-sum normalization.
 
-    (B, bins, frames) magnitude + phase -> (B, length). The overlap-add is a
-    scatter-add over frame offsets, expressed as a strided reshape-sum so XLA
-    lowers it without dynamic scatters.
+    (B, bins, frames) magnitude + phase -> (B, length). Overlap-add is
+    vectorized as ``n_fft/hop`` shifted reshape-adds (no scan, no scatters):
+    each frame splits into subframes of ``hop`` samples; subframe k of frame
+    f lands at output block f+k. Requires ``n_fft % hop == 0`` (true for the
+    reference's 1024/256 configuration).
     """
+    assert n_fft % hop_size == 0, "istft requires hop | n_fft"
+    ratio = n_fft // hop_size
     window = jnp.asarray(hann_window(win_size, n_fft))
     complex_spec = spec * jnp.exp(1j * phase)
     frames = jnp.fft.irfft(complex_spec.swapaxes(-1, -2), n=n_fft, axis=-1)
-    frames = frames * window[None, None, :]
+    frames = frames * window[None, None, :]          # (B, F, n_fft)
 
     b, n_frames, _ = frames.shape
     total = n_fft + hop_size * (n_frames - 1)
-    pos = jnp.arange(n_frames) * hop_size
-
-    def add_frame(carry, inp):
-        buf, wsum = carry
-        frame, p = inp
-        buf = jax.lax.dynamic_update_slice(
-            buf, jax.lax.dynamic_slice(buf, (0, p), (b, n_fft)) + frame, (0, p))
-        wsum = jax.lax.dynamic_update_slice(
-            wsum, jax.lax.dynamic_slice(wsum, (p,), (n_fft,)) + window ** 2, (p,))
-        return (buf, wsum), None
-
     buf = jnp.zeros((b, total), dtype=frames.dtype)
-    wsum = jnp.zeros((total,), dtype=frames.dtype)
-    (buf, wsum), _ = jax.lax.scan(
-        add_frame, (buf, wsum), (frames.swapaxes(0, 1), pos))
-    buf = buf / jnp.maximum(wsum[None, :], 1e-8)
+    for k in range(ratio):
+        sub = frames[:, :, k * hop_size: (k + 1) * hop_size]   # (B, F, hop)
+        flat = sub.reshape(b, n_frames * hop_size)
+        buf = buf.at[:, k * hop_size: k * hop_size + n_frames * hop_size].add(flat)
+    wsum = jnp.asarray(_window_sumsquare(n_fft, hop_size, win_size, n_frames))
+    buf = buf / wsum[None, :]
     pad = n_fft // 2
     return buf[:, pad: pad + length]
 

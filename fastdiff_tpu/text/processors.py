@@ -1,0 +1,104 @@
+"""Text processor registry: language -> (text -> phoneme tokens).
+
+Same dispatch role as the reference's ``txt_processors`` package
+(reference: data_gen/tts/txt_processors/{en,zh}.py, selected by the
+``pre_align_args.txt_processor`` hparam). The English processor uses
+``g2p_en`` when importable (as the reference does, en.py:12-43) and
+otherwise falls back to a deterministic grapheme processor, so the pipeline
+works on images without G2P models. Output format matches the reference:
+a list of phones with ``|`` word separators, plus the normalized text.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+from fastdiff_tpu.text.normalize import normalize_text
+
+PROCESSORS = {}
+
+
+def register_processor(name):
+    def wrap(cls):
+        PROCESSORS[name] = cls
+        return cls
+    return wrap
+
+
+def get_txt_processor_cls(name: str):
+    if name in PROCESSORS:
+        return PROCESSORS[name]
+    raise KeyError(f"unknown txt_processor '{name}' "
+                   f"(available: {sorted(PROCESSORS)})")
+
+
+class BaseTxtProcessor:
+    @classmethod
+    def process(cls, text: str, pre_align_args: dict = None) -> Tuple[List[str], str]:
+        """text -> (phonemes with '|' word separators, normalized text)."""
+        raise NotImplementedError
+
+
+@register_processor("en")
+class EnProcessor(BaseTxtProcessor):
+    """English G2P via g2p_en when available, grapheme fallback otherwise."""
+
+    _g2p = None
+    _g2p_checked = False
+
+    @classmethod
+    def _get_g2p(cls):
+        if not cls._g2p_checked:
+            cls._g2p_checked = True
+            try:
+                from g2p_en import G2p
+                cls._g2p = G2p()
+            except Exception:
+                cls._g2p = None
+        return cls._g2p
+
+    @classmethod
+    def process(cls, text, pre_align_args=None):
+        text = normalize_text(text)
+        g2p = cls._get_g2p()
+        if g2p is not None:
+            phones = [p if p != " " else "|" for p in g2p(text)]
+        else:
+            phones = GraphemeProcessor.text_to_graphemes(text)
+        # collapse repeated separators, strip edge separators
+        phones = _clean_separators(phones)
+        return phones, text
+
+
+@register_processor("grapheme")
+class GraphemeProcessor(BaseTxtProcessor):
+    """Letter-level tokens — a dependency-free processor usable anywhere."""
+
+    @staticmethod
+    def text_to_graphemes(text: str) -> List[str]:
+        tokens: List[str] = []
+        for word in re.split(r"\s+", text.strip()):
+            if not word:
+                continue
+            if tokens:
+                tokens.append("|")
+            for ch in word:
+                tokens.append(ch)
+        return tokens
+
+    @classmethod
+    def process(cls, text, pre_align_args=None):
+        text = normalize_text(text)
+        return _clean_separators(cls.text_to_graphemes(text)), text
+
+
+def _clean_separators(phones: List[str]) -> List[str]:
+    out: List[str] = []
+    for p in phones:
+        if p == "|" and (not out or out[-1] == "|"):
+            continue
+        out.append(p)
+    while out and out[-1] == "|":
+        out.pop()
+    return out

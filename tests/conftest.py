@@ -20,3 +20,16 @@ requires_reference = pytest.mark.skipif(
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+def stub_missing_modules(*names):
+    """Insert empty stand-ins for modules the reference imports but this
+    image lacks (chardet, librosa, ...) so reference oracles stay importable."""
+    import sys
+    import types
+    for name in names:
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                sys.modules[name] = types.ModuleType(name)

@@ -27,10 +27,11 @@ def main():
     from fastdiff_tpu.config import DiffusionConfig, ModelConfig
     from fastdiff_tpu.diffusion import schedules
     from fastdiff_tpu.diffusion.sampler import make_sampler
-    from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+    from fastdiff_tpu.models.fastdiff import (fastdiff_apply, fuse_weight_norm,
+                                              init_fastdiff)
 
     cfg = ModelConfig()
-    params = init_fastdiff(jax.random.PRNGKey(0), cfg)
+    params = fuse_weight_norm(init_fastdiff(jax.random.PRNGKey(0), cfg))
     hp = schedules.compute_hyperparams_given_schedule(
         schedules.linear_beta_schedule(DiffusionConfig()))
     const = schedules.sampler_constants_for_schedule(

@@ -29,7 +29,7 @@ class ModelConfig:
     diffusion_step_embed_dim_mid: int = 512
     diffusion_step_embed_dim_out: int = 512
     use_weight_norm: bool = True
-    use_pallas_lvc: bool = True
+    use_pallas_lvc: bool = False
     compute_dtype: str = "bfloat16"
 
     @property
@@ -65,7 +65,7 @@ class ModelConfig:
             diffusion_step_embed_dim_mid=int(hp.get("diffusion_step_embed_dim_mid", 512)),
             diffusion_step_embed_dim_out=int(hp.get("diffusion_step_embed_dim_out", 512)),
             use_weight_norm=bool(hp.get("use_weight_norm", True)),
-            use_pallas_lvc=bool(hp.get("use_pallas_lvc", True)),
+            use_pallas_lvc=bool(hp.get("use_pallas_lvc", False)),
             compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
         )
 

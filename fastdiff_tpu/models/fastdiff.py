@@ -145,6 +145,43 @@ def num_params(params) -> int:
     return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
 
 
+def fuse_weight_norm(params):
+    """Collapse every (g, v) weight-norm pair into a plain 'w' kernel.
+
+    For inference: the parametrization only matters for training dynamics
+    (reference trains with weight norm, FastDiff_model.py:115-122, and calls
+    remove_weight_norm for deployment, :104-113). Fusing once removes the
+    per-call norm computation from the sampled graph.
+
+    Conv pairs norm over (K, I) per output channel; transposed-conv pairs
+    over (K, O) per input channel — distinguished by g's length matching
+    v.shape[2] (O) vs v.shape[1] (I); square upsamplers (I == O) are
+    transposed convs in this model, handled by key name.
+    """
+    def fuse(tree, is_transpose=False):
+        if isinstance(tree, dict):
+            if "g" in tree and "v" in tree:
+                v, g = tree["v"], tree["g"]
+                if is_transpose:
+                    norm = jnp.sqrt(jnp.sum(v ** 2, axis=(0, 2), keepdims=True) + 1e-12)
+                    w = g[None, :, None] * v / norm
+                else:
+                    axes = (0, 1) if v.ndim == 3 else tuple(range(v.ndim - 1))
+                    norm = jnp.sqrt(jnp.sum(v ** 2, axis=axes, keepdims=True) + 1e-12)
+                    w = g * v / norm if v.ndim != 3 else g[None, None, :] * v / norm
+                out = {"w": w}
+                if "b" in tree:
+                    out["b"] = tree["b"]
+                return out
+            return {k: fuse(val, is_transpose=(k == "upsample"))
+                    for k, val in tree.items()}
+        if isinstance(tree, list):
+            return [fuse(item, is_transpose) for item in tree]
+        return tree
+
+    return fuse(params)
+
+
 # ---------------------------------------------------------------------------
 # Apply
 # ---------------------------------------------------------------------------

@@ -167,6 +167,9 @@ class Trainer:
         if state is None:
             state = task.build_state()
         state, step = self.restore(state)
+        # inference-only: fuse weight-norm (g, v) pairs once
+        from fastdiff_tpu.models.fastdiff import fuse_weight_norm
+        state = {**state, "params": fuse_weight_norm(state["params"])}
         constants = task.sampler_constants()
         gen_dir = os.path.join(
             self.work_dir,

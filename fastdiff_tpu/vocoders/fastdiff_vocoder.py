@@ -20,7 +20,8 @@ import numpy as np
 from fastdiff_tpu.config import DiffusionConfig, ModelConfig
 from fastdiff_tpu.diffusion import schedules
 from fastdiff_tpu.diffusion.sampler import make_sampler
-from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+from fastdiff_tpu.models.fastdiff import (fastdiff_apply, fuse_weight_norm,
+                                          init_fastdiff)
 from fastdiff_tpu.vocoders.base import BaseVocoder, register_vocoder
 
 
@@ -33,7 +34,7 @@ class FastDiff(BaseVocoder):
         self.diff_cfg = DiffusionConfig.from_hparams(hp)
         self.hyperparams = schedules.compute_hyperparams_given_schedule(
             schedules.linear_beta_schedule(self.diff_cfg))
-        self.params = self._load_params(hp)
+        self.params = fuse_weight_norm(self._load_params(hp))
         sched = schedules.resolve_noise_schedule(hp)
         constants = schedules.sampler_constants_for_schedule(
             sched, self.hyperparams)

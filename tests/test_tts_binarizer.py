@@ -15,7 +15,9 @@ def _make_tts_dataset(tmp_path, n_items=4, sr=22050):
     raw.mkdir()
     rows = []
     rng = np.random.default_rng(0)
-    phones = ["HH AY | W ER L D", "G UH D | D EY .", "T EH S T", "W AH N ."]
+    phone_pool = ["HH AY | W ER L D", "G UH D | D EY .", "T EH S T",
+                  "W AH N .", "T UW | M AO R", "TH R IY ."]
+    phones = [phone_pool[i % len(phone_pool)] for i in range(n_items)]
     for i in range(n_items):
         t = np.arange(sr // 2) / sr
         wav = (0.4 * np.sin(2 * np.pi * (180 + 30 * i) * t)

@@ -1,0 +1,64 @@
+"""FastSpeech2 task: end-to-end TTS training on binarized data + synthesis."""
+
+import numpy as np
+import pytest
+
+from fastdiff_tpu.data.tts_binarizer import TTSBinarizer
+from fastdiff_tpu.training.tts_task import FastSpeech2Task, collate_tts
+from tests.test_tts_binarizer import _make_tts_dataset
+
+
+@pytest.fixture(scope="module")
+def tts_data(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("tts_task")
+    hp = _make_tts_dataset(tmp_path, n_items=5)
+    hp.update({
+        "max_samples": 256,          # minimal length filter for TTS items
+        "max_sentences": 2, "max_valid_sentences": 1,
+        "hidden_size": 32, "enc_layers": 1, "dec_layers": 1, "num_heads": 2,
+        "ffn_hidden": 64, "enc_ffn_kernel_size": 3, "max_frames": 200,
+        "use_pitch_embed": True, "lr": 1e-3, "weight_decay": 0,
+        "scheduler": "none", "optimizer_adam_beta1": 0.9,
+        "optimizer_adam_beta2": 0.98, "clip_grad_norm": 1,
+        "accumulate_grad_batches": 1, "seed": 0,
+        "vocoder": "glmel", "griffin_lim_iters": 4,
+        "test_input_dir": "", "test_mel_dir": "", "endless_ds": True,
+    })
+    TTSBinarizer(hp).process()
+    return hp
+
+
+def test_collate_shapes(tts_data):
+    from fastdiff_tpu.data.dataset import VocoderDataset
+    ds = VocoderDataset(tts_data, "train")
+    items = [ds[i] for i in range(2)]
+    batch = collate_tts(items, 16, 64, 80)
+    assert batch["tokens"].shape == (2, 16)
+    assert batch["mels"].shape == (2, 64, 80)
+    assert batch["mel2ph"].max() <= 16
+    assert batch["dur"].sum(axis=1).max() <= 64
+
+
+def test_tts_training_step_and_val(tts_data):
+    task = FastSpeech2Task(tts_data)
+    state = task.build_state()
+    loader = task.train_dataloader()
+    batch = next(loader)
+    state, losses = task.train_step(state, batch)
+    assert np.isfinite(float(losses["total"]))
+    state, losses2 = task.train_step(state, next(loader))
+    assert np.isfinite(float(losses2["total"]))
+
+    val = task.val_step(state, batch)
+    assert "mel" in val and np.isfinite(val["mel"])
+
+
+def test_tts_infer_to_wav(tts_data, tmp_path):
+    task = FastSpeech2Task(tts_data)
+    state = task.build_state()
+    tokens = np.asarray([3, 4, 5, 6], np.int32)
+    out = str(tmp_path / "tts.wav")
+    wav = task.infer_to_wav(state, tokens, out)
+    assert len(wav) > 0 and np.isfinite(wav).all()
+    import os
+    assert os.path.exists(out)

@@ -1,0 +1,73 @@
+"""Batched, mesh-sharded vocoding — the TPU-native serving path.
+
+The reference vocoder infers strictly one utterance per batch
+(reference: tasks/vocoder/dataset_utils.py:56, config max_valid_sentences=1);
+throughput scaling there means more GPUs with DDP. Here a *batch* of
+utterances is bucket-padded to shared lengths, stacked, and the whole
+reverse-diffusion scan runs once per bucket with the batch dimension
+NamedSharding'ed over the ``dp`` mesh axis — XLA executes every chip on its
+shard with zero communication (vocoding is embarrassingly parallel; the
+mesh is how it rides ICI on a slice).
+
+Length bucketing keeps recompiles bounded: mel frame counts are padded up
+to multiples of ``frame_bucket`` (compile cache keyed on padded length),
+and outputs are trimmed back to ``frames * hop`` samples.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from fastdiff_tpu.diffusion.sampler import make_sampler
+from fastdiff_tpu.parallel import mesh as meshlib
+
+
+class BatchedVocoder:
+    def __init__(self, denoise_fn: Callable, constants, hop_size: int,
+                 mesh=None, frame_bucket: int = 128,
+                 max_batch: int = 16):
+        """denoise_fn(x, mel, t) -> eps; constants from
+        sampler_constants_for_schedule."""
+        self.sampler = make_sampler(denoise_fn, constants)
+        self.hop = hop_size
+        self.mesh = mesh or meshlib.make_mesh()
+        self.frame_bucket = frame_bucket
+        self.max_batch = max_batch
+
+    def _bucket(self, frames: int) -> int:
+        b = self.frame_bucket
+        return ((frames + b - 1) // b) * b
+
+    def vocode(self, mels: List[np.ndarray], key=None) -> List[np.ndarray]:
+        """mels: list of (T_i, n_mels) arrays -> list of (T_i * hop,) wavs."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        # group indices by padded length bucket
+        buckets = {}
+        for i, mel in enumerate(mels):
+            buckets.setdefault(self._bucket(mel.shape[0]), []).append(i)
+
+        out: List[np.ndarray] = [None] * len(mels)
+        dp = self.mesh.shape.get("dp", 1)
+        for padded_frames, idxs in sorted(buckets.items()):
+            for start in range(0, len(idxs), self.max_batch):
+                chunk = idxs[start: start + self.max_batch]
+                # pad the batch dim up to a dp multiple so it shards evenly
+                batch = len(chunk)
+                padded_batch = ((batch + dp - 1) // dp) * dp
+                stack = np.zeros((padded_batch, padded_frames,
+                                  mels[chunk[0]].shape[1]), np.float32)
+                for row, i in enumerate(chunk):
+                    stack[row, : mels[i].shape[0]] = mels[i]
+                key, sub = jax.random.split(key)
+                mel_dev = jax.device_put(
+                    jnp.asarray(stack), meshlib.batch_sharding(self.mesh))
+                wavs = self.sampler(sub, mel_dev, padded_frames * self.hop)
+                wavs = np.asarray(wavs)[..., 0]
+                for row, i in enumerate(chunk):
+                    out[i] = wavs[row, : mels[i].shape[0] * self.hop]
+        return out

@@ -93,6 +93,33 @@ class GraphemeProcessor(BaseTxtProcessor):
         return _clean_separators(cls.text_to_graphemes(text)), text
 
 
+@register_processor("zh")
+class ZhProcessor(BaseTxtProcessor):
+    """Chinese: jieba segmentation + pypinyin G2P (reference:
+    data_gen/tts/txt_processors/zh.py role). Requires pypinyin; raises a
+    clear error when unavailable rather than degrading silently."""
+
+    @classmethod
+    def process(cls, text, pre_align_args=None):
+        try:
+            from pypinyin import Style, lazy_pinyin
+        except ImportError as exc:
+            raise ImportError(
+                "the 'zh' text processor needs pypinyin (not installed in "
+                "this image); use txt_processor=grapheme instead") from exc
+        try:
+            import jieba
+            words = [w for w in jieba.cut(text) if w.strip()]
+        except ImportError:
+            words = list(text.replace(" ", ""))
+        phones: List[str] = []
+        for word in words:
+            if phones:
+                phones.append("|")
+            phones.extend(lazy_pinyin(word, style=Style.TONE3))
+        return _clean_separators(phones), text
+
+
 def _clean_separators(phones: List[str]) -> List[str]:
     out: List[str] = []
     for p in phones:

@@ -47,6 +47,14 @@ class FastDiff(BaseVocoder):
 
         self._sampler = make_sampler(denoise, constants)
         self._key = jax.random.PRNGKey(int(hp.get("seed", 1234)))
+        # long-utterance chunking (0 = off): one compiled shape + O(1) memory
+        chunk = int(hp.get("chunked_infer_frames", 0) or 0)
+        self._chunked = None
+        if chunk:
+            from fastdiff_tpu.serving.chunked_vocoder import ChunkedVocoder
+            self._chunked = ChunkedVocoder(self._sampler,
+                                           hop_size=self.model_cfg.total_hop,
+                                           chunk_frames=chunk)
 
     def _load_params(self, hp: dict):
         ckpt = hp.get("vocoder_ckpt", "")
@@ -68,8 +76,10 @@ class FastDiff(BaseVocoder):
 
     def spec2wav(self, mel: np.ndarray, **kwargs) -> np.ndarray:
         """mel (T, n_mels) -> waveform (T * hop,)."""
-        mel = jnp.asarray(np.asarray(mel, dtype=np.float32))[None, ...]
-        hop = self.model_cfg.total_hop
+        mel = np.asarray(mel, dtype=np.float32)
         self._key, sub = jax.random.split(self._key)
-        wav = self._sampler(sub, mel, mel.shape[1] * hop)
+        if self._chunked is not None:
+            return self._chunked.vocode(mel, key=sub)
+        hop = self.model_cfg.total_hop
+        wav = self._sampler(sub, jnp.asarray(mel)[None], mel.shape[0] * hop)
         return np.asarray(wav)[0, :, 0]

@@ -114,11 +114,19 @@ def conv_transpose_weight(params: dict) -> jnp.ndarray:
 def conv1d(params: dict, x: jnp.ndarray, *, dilation: int = 1,
            padding=None, stride: int = 1,
            compute_dtype=None) -> jnp.ndarray:
-    """1-D convolution, NWC. ``padding=None`` -> torch-style 'same' for odd k."""
+    """1-D convolution, NWC. ``padding=None`` -> torch-style 'same' for odd k.
+
+    Under a bf16 ``compute_dtype`` the epilogue stays bf16 (accumulation is
+    still f32 inside the MXU via ``preferred_element_type``): f32 outputs
+    double HBM traffic on every layer boundary, which measured ~1.8x slower
+    on dilated-conv chains at vocoder shapes.
+    """
     w = conv_weight(params)
+    out_dtype = jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+        out_dtype = compute_dtype
     k = w.shape[0]
     if padding is None:
         pad = dilation * ((k - 1) // 2)
@@ -129,7 +137,7 @@ def conv1d(params: dict, x: jnp.ndarray, *, dilation: int = 1,
         x, w, window_strides=(stride,), padding=padding,
         rhs_dilation=(dilation,), dimension_numbers=_DIMSPEC,
         preferred_element_type=jnp.float32)
-    return y + params["b"][None, None, :].astype(y.dtype)
+    return (y + params["b"][None, None, :]).astype(out_dtype)
 
 
 def conv_transpose1d(params: dict, x: jnp.ndarray, *, stride: int,
@@ -143,9 +151,11 @@ def conv_transpose1d(params: dict, x: jnp.ndarray, *, stride: int,
     Output length = (L-1)*stride - 2*torch_padding + k + output_padding.
     """
     w = conv_transpose_weight(params)
+    out_dtype = jnp.float32
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
         w = w.astype(compute_dtype)
+        out_dtype = compute_dtype
     k = w.shape[0]
     lo = k - 1 - torch_padding
     hi = k - 1 - torch_padding + output_padding
@@ -153,7 +163,7 @@ def conv_transpose1d(params: dict, x: jnp.ndarray, *, stride: int,
         x, w, window_strides=(1,), padding=[(lo, hi)],
         lhs_dilation=(stride,), dimension_numbers=_DIMSPEC,
         preferred_element_type=jnp.float32)
-    return y + params["b"][None, None, :].astype(y.dtype)
+    return (y + params["b"][None, None, :]).astype(out_dtype)
 
 
 def dense(params: dict, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:

@@ -84,3 +84,41 @@ class ChunkedVocoder:
             weight[lo:hi] += win[seg_lo: seg_lo + hi - lo]
         out = out / np.maximum(weight, 1e-8)
         return out[: frames * self.hop]
+
+
+class DistributedChunkedVocoder(ChunkedVocoder):
+    """Sequence-parallel chunked vocoding: the chunk axis is sharded over the
+    device mesh, so one long utterance spreads across all chips.
+
+    This is the framework's sequence-parallelism story (SURVEY.md §5.7): the
+    model has no attention and a bounded receptive field, so sharding the
+    time axis reduces to sharding *independent haloed windows* — the chunk
+    batch is placed with a NamedSharding over the mesh's first axis and XLA
+    runs each chip on its shard with zero collectives. Chunk count is padded
+    to a multiple of the axis size so the sharding is even.
+    """
+
+    def __init__(self, sampler: Callable, hop_size: int, mesh=None,
+                 chunk_frames: int = 256,
+                 halo_frames: int = DEFAULT_HALO_FRAMES):
+        super().__init__(sampler, hop_size, chunk_frames, halo_frames)
+        from fastdiff_tpu.parallel import mesh as meshlib
+        self.mesh = mesh or meshlib.make_mesh()
+        self._meshlib = meshlib
+        base_sampler = self.sampler
+
+        def sharded_sampler(key, mel_chunks, audio_length):
+            n = mel_chunks.shape[0]
+            axis = self.mesh.axis_names[0]
+            width = self.mesh.shape[axis]
+            pad = (-n) % width
+            if pad:
+                mel_chunks = jnp.concatenate(
+                    [mel_chunks, jnp.zeros((pad,) + mel_chunks.shape[1:],
+                                           mel_chunks.dtype)], axis=0)
+            mel_dev = jax.device_put(
+                mel_chunks, self._meshlib.batch_sharding(self.mesh, axis))
+            wavs = base_sampler(key, mel_dev, audio_length)
+            return wavs[:n]
+
+        self.sampler = sharded_sampler

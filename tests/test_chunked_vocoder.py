@@ -37,6 +37,21 @@ def test_chunked_matches_unchunked_for_local_sampler():
     np.testing.assert_allclose(wav, want, rtol=1e-4, atol=1e-5)
 
 
+def test_distributed_chunks_sharded_over_mesh():
+    """Chunk axis shards over the 8-device mesh; result matches the local
+    chunked path exactly for a deterministic sampler."""
+    from fastdiff_tpu.serving.chunked_vocoder import DistributedChunkedVocoder
+    hop = 4
+    local = ChunkedVocoder(_linear_sampler, hop_size=hop, chunk_frames=32,
+                           halo_frames=8)
+    dist = DistributedChunkedVocoder(_linear_sampler, hop_size=hop,
+                                     chunk_frames=32, halo_frames=8)
+    assert dist.mesh.devices.size == 8
+    mel = np.random.default_rng(2).standard_normal((200, 6)).astype(np.float32)
+    np.testing.assert_allclose(dist.vocode(mel), local.vocode(mel),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_odd_lengths():
     voc = ChunkedVocoder(_linear_sampler, hop_size=4, chunk_frames=32,
                          halo_frames=4)

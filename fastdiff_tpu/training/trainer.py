@@ -142,9 +142,11 @@ class Trainer:
                     metrics["steps_per_sec"] = self.cfg.tb_log_interval / dt
                     meters.update(metrics)
                     self.logger.log(metrics, step, prefix="tr/")
-                    print(f"| step {step}: loss={metrics['loss']:.4f} "
-                          f"gnorm={metrics['grad_norm']:.3f} "
-                          f"{metrics['steps_per_sec']:.2f} it/s")
+                    extras = " ".join(
+                        f"{k}={v:.4f}" for k, v in metrics.items()
+                        if k not in ("loss", "steps_per_sec"))
+                    print(f"| step {step}: loss={metrics.get('loss', float('nan')):.4f} "
+                          f"{extras} {metrics['steps_per_sec']:.2f} it/s")
                     sys.stdout.flush()
 
                 if step % self.cfg.val_check_interval == 0:

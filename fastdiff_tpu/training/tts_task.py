@@ -105,6 +105,7 @@ class FastSpeech2Task:
         src_mask = (batch["tokens"] > 0).astype(jnp.float32)
         losses = fastspeech2_loss(out, batch["mels"], batch["dur"], src_mask,
                                   pitch_gt=batch["pitch"])
+        losses["loss"] = losses["total"]   # trainer-facing alias
         return losses["total"], losses
 
     def _get_step_fn(self, shapes):

@@ -45,6 +45,27 @@ def test_param_count_matches_reference_scale():
     assert 15.2e6 < n < 15.5e6, n
 
 
+def test_bf16_path_tracks_f32():
+    """The bf16 compute path must stay close to the f32 reference path
+    (same params): relative L2 error bounded, shapes/dtypes right."""
+    import dataclasses
+    cfg32 = dataclasses.replace(SMALL, compute_dtype="float32")
+    cfg16 = dataclasses.replace(SMALL, compute_dtype="bfloat16")
+    params = init_fastdiff(jax.random.PRNGKey(0), cfg32)
+    rng = np.random.default_rng(5)
+    b, frames = 2, 8
+    audio = jnp.asarray(rng.standard_normal((b, frames * cfg32.total_hop, 1)),
+                        jnp.float32)
+    mel = jnp.asarray(rng.standard_normal((b, frames, cfg32.cond_channels)),
+                      jnp.float32)
+    t = jnp.full((b, 1), 500.0)
+    out32 = np.asarray(fastdiff_apply(params, audio, mel, t, cfg32))
+    out16 = np.asarray(fastdiff_apply(params, audio, mel, t, cfg16))
+    assert out16.dtype == np.float32
+    rel = np.linalg.norm(out16 - out32) / np.linalg.norm(out32)
+    assert rel < 0.05, rel
+
+
 def test_step_embedding_fractional():
     """The embedding must accept non-integer steps (util.py:197-207 produces
     fractional timesteps at inference)."""

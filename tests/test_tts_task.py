@@ -53,6 +53,23 @@ def test_tts_training_step_and_val(tts_data):
     assert "mel" in val and np.isfinite(val["mel"])
 
 
+def test_trainer_drives_tts_task(tts_data, tmp_path):
+    """The generic Trainer loop must run the TTS task (fit for a few steps,
+    checkpoints written)."""
+    import glob
+    import os
+    from fastdiff_tpu.training.trainer import Trainer
+    hp = dict(tts_data)
+    hp.update(max_updates=4, val_check_interval=2, num_sanity_val_steps=1,
+              tb_log_interval=2, eval_max_batches=1, num_ckpt_keep=2,
+              work_dir=str(tmp_path / "fs2_work"))
+    task = FastSpeech2Task(hp)
+    trainer = Trainer(task, hp["work_dir"])
+    result = trainer.fit()
+    assert result["step"] == 4
+    assert glob.glob(os.path.join(hp["work_dir"], "model_ckpt_steps_*.ckpt"))
+
+
 def test_tts_infer_to_wav(tts_data, tmp_path):
     task = FastSpeech2Task(tts_data)
     state = task.build_state()

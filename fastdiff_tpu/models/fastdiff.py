@@ -199,15 +199,15 @@ def _kernel_predictor_apply(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     layers = cfg.lvc_layers_each_block
     k = cfg.lvc_kernel_size
 
-    c = fnn.conv1d(p["input_conv"], cond, compute_dtype=dtype)
+    c = fnn.conv1d(p["input_conv"], cond, compute_dtype=dtype, impl=cfg.conv_impl)
     c = fnn.leaky_relu(c, 0.1)
     r = c
     for conv in p["residual_convs"]:
-        r = fnn.conv1d(conv, r, compute_dtype=dtype)
+        r = fnn.conv1d(conv, r, compute_dtype=dtype, impl=cfg.conv_impl)
         r = fnn.leaky_relu(r, 0.1)
     c = c + r
-    kw = fnn.conv1d(p["kernel_conv"], c, compute_dtype=dtype)
-    kb = fnn.conv1d(p["bias_conv"], c, compute_dtype=dtype)
+    kw = fnn.conv1d(p["kernel_conv"], c, compute_dtype=dtype, impl=cfg.conv_impl)
+    kb = fnn.conv1d(p["bias_conv"], c, compute_dtype=dtype, impl=cfg.conv_impl)
 
     b, frames, _ = kw.shape
     # torch channel order of the prediction is C-order (layers, Cin, Cout, K)
@@ -218,15 +218,15 @@ def _kernel_predictor_apply(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     return kernels, biases
 
 
-def _dblock_apply(p: dict, x: jnp.ndarray, factor: int, dtype) -> jnp.ndarray:
+def _dblock_apply(p: dict, x: jnp.ndarray, factor: int, dtype, impl="lax") -> jnp.ndarray:
     """DiffusionDBlock: nearest-downsample + 3 dilated convs + 1x1 residual
     (reference: modules.py:127-138)."""
-    residual = fnn.conv1d(p["residual_dense"], x, compute_dtype=dtype)
+    residual = fnn.conv1d(p["residual_dense"], x, compute_dtype=dtype, impl=impl)
     residual = fnn.nearest_downsample(residual, factor)
     x = fnn.nearest_downsample(x, factor)
     for i, conv in enumerate(p["convs"]):
         x = fnn.leaky_relu(x, 0.2)
-        x = fnn.conv1d(conv, x, dilation=2 ** i, compute_dtype=dtype)
+        x = fnn.conv1d(conv, x, dilation=2 ** i, compute_dtype=dtype, impl=impl)
     return x + residual
 
 
@@ -243,7 +243,9 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     kernels, biases = _kernel_predictor_apply(p["kernel_predictor"], cond, cfg, dtype)
 
     x = fnn.leaky_relu(x, 0.2)
-    x = fnn.conv_transpose1d(
+    upsample_fn = (fnn.conv_transpose1d_dot if cfg.conv_impl == "dot"
+                   else fnn.conv_transpose1d)
+    x = upsample_fn(
         p["upsample"], x, stride=ratio,
         torch_padding=ratio // 2 + ratio % 2, output_padding=ratio % 2,
         compute_dtype=dtype)
@@ -255,7 +257,8 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     for i in range(cfg.lvc_layers_each_block):
         x = x + skip
         y = fnn.leaky_relu(x, 0.2)
-        y = fnn.conv1d(p["convs"][i], y, dilation=3 ** i, compute_dtype=dtype)
+        y = fnn.conv1d(p["convs"][i], y, dilation=3 ** i, compute_dtype=dtype,
+                       impl=cfg.conv_impl)
         y = fnn.leaky_relu(y, 0.2)
         x = lvc_fn(x, y, kernels[:, i].astype(dtype),
                    biases[:, i].astype(jnp.float32), hop)
@@ -275,14 +278,14 @@ def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
     emb = fnn.swish(fnn.dense(params["fc_t2"], emb))      # (B, 512) f32
 
     x = fnn.conv1d(params["first_audio_conv"], audio.astype(dtype),
-                   compute_dtype=dtype)
+                   compute_dtype=dtype, impl=cfg.conv_impl)
     skips = []
     n_blocks = len(cfg.upsample_ratios)
     # downsample[n] shrinks by upsample_ratios[n_blocks-1-n] (FastDiff_model.py:63)
     for n, dblock in enumerate(params["downsample"]):
         skips.append(x)
         factor = cfg.upsample_ratios[n_blocks - 1 - n]
-        x = _dblock_apply(dblock, x, factor, dtype)
+        x = _dblock_apply(dblock, x, factor, dtype, impl=cfg.conv_impl)
 
     hops = cfg.cond_hop_lengths
     for n, lvcb in enumerate(params["lvc_blocks"]):
@@ -290,5 +293,6 @@ def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
         x = _lvc_block_apply(lvcb, x, skip, mel.astype(dtype), emb,
                              cfg.upsample_ratios[n], hops[n], cfg, dtype)
 
-    out = fnn.conv1d(params["final_conv"], x, compute_dtype=dtype)
+    out = fnn.conv1d(params["final_conv"], x, compute_dtype=dtype,
+                     impl=cfg.conv_impl)
     return out.astype(jnp.float32)

@@ -90,3 +90,42 @@ def compute_rtf(generation_seconds: float, audio_samples: int,
     """Real-time factor: seconds of compute per second of audio (<1 = faster
     than real time). The working version of the reference's dead helper."""
     return float(generation_seconds * sample_rate / audio_samples)
+
+
+def dtw_distance(a: np.ndarray, b: np.ndarray) -> float:
+    """Dynamic-time-warping L1 distance between two 1-D sequences,
+    normalized by path length (vectorized anti-diagonal DP; the reference
+    uses a numba-jitted loop, utils/pitch_distance.py:9-60)."""
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    n, m = len(a), len(b)
+    cost = np.abs(a[:, None] - b[None, :])
+    acc = np.full((n + 1, m + 1), np.inf)
+    acc[0, 0] = 0.0
+    for i in range(1, n + 1):
+        prev = acc[i - 1]
+        row = acc[i]
+        # acc[i, j] = cost + min(acc[i-1,j], acc[i,j-1], acc[i-1,j-1])
+        run = np.minimum(prev[1:], prev[:-1])   # top, diag
+        c = cost[i - 1]
+        # left dependency forces a sequential pass, but on a single row
+        left = np.inf
+        for j in range(m):
+            best = min(run[j], left)
+            left = row[j + 1] = c[j] + best
+    return float(acc[n, m] / (n + m))
+
+
+def pitch_alignment_distance(wav_a, wav_b, cfg: AudioConfig = None) -> float:
+    """DTW distance between voiced f0 contours (semitone domain) — the
+    pitch-accuracy metric of utils/pitch_distance.py, on native YIN f0."""
+    from fastdiff_tpu.ops.pitch import yin_f0
+    cfg = cfg or AudioConfig()
+    f0a = yin_f0(np.asarray(wav_a), cfg.sample_rate, cfg.hop_size)
+    f0b = yin_f0(np.asarray(wav_b), cfg.sample_rate, cfg.hop_size)
+    va, vb = f0a[f0a > 0], f0b[f0b > 0]
+    if len(va) < 2 or len(vb) < 2:
+        return float("nan")
+    semi_a = 12.0 * np.log2(va / 440.0)
+    semi_b = 12.0 * np.log2(vb / 440.0)
+    return dtw_distance(semi_a, semi_b)

@@ -98,3 +98,20 @@ def test_metrics_order_sensible():
 def test_rtf():
     assert metrics.compute_rtf(1.0, 22050) == pytest.approx(1.0)
     assert metrics.compute_rtf(0.5, 44100) == pytest.approx(0.25)
+
+
+def test_dtw_distance():
+    a = np.asarray([0.0, 1.0, 2.0, 3.0])
+    assert metrics.dtw_distance(a, a) == 0.0
+    # time-warped copy still matches closely; different sequence doesn't
+    warped = np.asarray([0.0, 0.0, 1.0, 1.0, 2.0, 3.0, 3.0])
+    far = a + 5.0
+    assert metrics.dtw_distance(a, warped) < 0.1
+    assert metrics.dtw_distance(a, far) > 1.0
+
+
+def test_pitch_alignment_distance():
+    same = metrics.pitch_alignment_distance(_tone(220), _tone(220))
+    diff = metrics.pitch_alignment_distance(_tone(220), _tone(330))
+    assert same < 0.2
+    assert diff > same + 3.0   # ~7 semitones apart

@@ -214,6 +214,30 @@ def train_batch_iterator(dataset: VocoderDataset, batch_size: int,
             yield crop_batch(items, max_frames, hop, rng)
 
 
+def batch_by_size(indices, sizes, max_tokens: int = 30000,
+                  max_sentences: int = None, required_multiple: int = 1):
+    """Token-bucketed batching: greedily fill batches up to ``max_tokens``
+    total frames (and optionally ``max_sentences`` items), the reference's
+    TTS batching strategy (tasks/tts/tts_base.py:112-156 / utils
+    batch_by_size semantics). Returns a list of index lists; batch sizes are
+    trimmed down to a multiple of ``required_multiple`` (e.g. the dp axis)."""
+    batches, cur, cur_max = [], [], 0
+    for idx in indices:
+        size = int(sizes[idx])
+        new_max = max(cur_max, size)
+        if cur and ((len(cur) + 1) * new_max > max_tokens or
+                    (max_sentences and len(cur) >= max_sentences)):
+            keep = (len(cur) // required_multiple) * required_multiple or len(cur)
+            batches.append(cur[:keep])
+            cur, cur_max = cur[keep:], max((int(sizes[i]) for i in cur[keep:]),
+                                           default=0)
+        cur.append(idx)
+        cur_max = max(cur_max, size)
+    if cur:
+        batches.append(cur)
+    return batches
+
+
 def infer_item_iterator(dataset: VocoderDataset) -> Iterator[dict]:
     """Yield full-utterance inference items: mel (1, T, n_mels) f32,
     optional ground-truth wav (1, L, 1)."""

@@ -77,6 +77,14 @@ class VocoderPreAlign:
                 f'sox -v 0.95 "{new_base}.wav" -r{sample_rate} "{new_base}_rs.wav"',
                 shell=True)
             new_base += "_rs"
+        if pre_align_args.get("denoise"):
+            # native spectral subtraction replaces the reference's RNNoise
+            # binary (vocoder_pre_align.py:39-41, utils/rnnoise.py)
+            from fastdiff_tpu.vocoders.denoise import denoise as spectral_denoise
+            wav, sr = audio_io.load_wav(new_base + ".wav", target_sr=sample_rate)
+            wav = spectral_denoise(wav, c=0.15)
+            audio_io.save_wav(wav, new_base + "_denoise.wav", sr)
+            new_base += "_denoise"
         if pre_align_args.get("trim_sil"):
             wav, sr = audio_io.load_wav(new_base + ".wav", target_sr=sample_rate)
             wav = trim_silence(wav)

@@ -29,7 +29,6 @@ from fastdiff_tpu.data.dataset import (VocoderDataset, infer_item_iterator,
                                        train_batch_iterator)
 from fastdiff_tpu.diffusion import schedules
 from fastdiff_tpu.diffusion.losses import theta_timestep_loss
-from fastdiff_tpu.diffusion.sampler import sampling_given_noise_schedule
 from fastdiff_tpu.models.fastdiff import (fastdiff_apply, init_fastdiff,
                                           num_params)
 from fastdiff_tpu.parallel import mesh as meshlib
@@ -186,17 +185,33 @@ class FastDiffTask:
         sched = schedules.resolve_noise_schedule(self.hparams)
         return schedules.sampler_constants_for_schedule(sched, self.hyperparams)
 
-    def test_step(self, state, sample: Dict, constants, gen_dir: str,
+    def make_test_sampler(self, state, constants):
+        """Jitted sampler bound to this state's params (compile cached per
+        padded length bucket)."""
+        from fastdiff_tpu.diffusion.sampler import make_sampler
+        return make_sampler(self.denoise_fn(state["params"]), constants)
+
+    def test_step(self, state, sample: Dict, sampler, gen_dir: str,
                   key) -> Dict:
-        """Generate one utterance and dump wavs (FastDiff.py:60-119)."""
-        mel = jnp.asarray(sample["mels"])
+        """Generate one utterance and dump wavs (FastDiff.py:60-119).
+
+        ``sampler`` comes from ``make_test_sampler`` (jitted, cache keyed on
+        shapes). Mel frames are padded up to a bucket multiple (edge
+        padding) so the sampler compiles once per bucket instead of once per
+        utterance length; the waveform is trimmed back to frames * hop.
+        """
+        mel_np = np.asarray(sample["mels"])
+        frames = mel_np.shape[1]
+        bucket = int(self.hparams.get("infer_frame_bucket", 128))
+        padded = ((frames + bucket - 1) // bucket) * bucket
+        if padded != frames:
+            mel_np = np.pad(mel_np, ((0, 0), (0, padded - frames), (0, 0)),
+                            mode="edge")
+        mel = jnp.asarray(mel_np)
         hop = int(self.hparams["hop_size"])
-        audio_length = mel.shape[1] * hop
         t0 = time.time()
-        wav = sampling_given_noise_schedule(
-            self.denoise_fn(state["params"]), key, mel, constants,
-            audio_length)
-        wav = np.asarray(jax.block_until_ready(wav))[0, :, 0]
+        wav = sampler(key, mel, padded * hop)
+        wav = np.asarray(jax.block_until_ready(wav))[0, : frames * hop, 0]
         gen_time = time.time() - t0
 
         os.makedirs(gen_dir, exist_ok=True)

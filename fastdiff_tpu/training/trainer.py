@@ -173,6 +173,7 @@ class Trainer:
         from fastdiff_tpu.models.fastdiff import fuse_weight_norm
         state = {**state, "params": fuse_weight_norm(state["params"])}
         constants = task.sampler_constants()
+        sampler = task.make_test_sampler(state, constants)
         gen_dir = os.path.join(
             self.work_dir,
             f"generated_{step}_{task.hparams.get('gen_dir_name', '')}")
@@ -180,7 +181,7 @@ class Trainer:
         key = jax.random.PRNGKey(self.cfg.seed)
         for sample in task.test_dataloader():
             key, sub = jax.random.split(key)
-            res = task.test_step(state, sample, constants, gen_dir, sub)
+            res = task.test_step(state, sample, sampler, gen_dir, sub)
             print(f"| generated {res['item_name']}: rtf={res['rtf']:.4f}")
             results.append(res)
         if results:

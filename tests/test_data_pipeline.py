@@ -148,6 +148,21 @@ def test_endless_stream_shards_disjoint():
     assert set(epoch0_a) | set(epoch0_b) == set(range(10))
 
 
+def test_batch_by_size():
+    from fastdiff_tpu.data.dataset import batch_by_size
+    sizes = [100, 200, 150, 400, 50, 300, 120, 80]
+    batches = batch_by_size(range(8), sizes, max_tokens=600)
+    # all indices covered exactly once
+    flat = [i for b in batches for i in b]
+    assert sorted(flat) == list(range(8))
+    # token budget respected: batch_size * max_size <= max_tokens
+    for b in batches:
+        assert len(b) * max(sizes[i] for i in b) <= 600
+    # max_sentences cap
+    batches = batch_by_size(range(8), sizes, max_tokens=10**6, max_sentences=3)
+    assert all(len(b) <= 3 for b in batches)
+
+
 def test_short_items_filtered(tmp_path):
     processed = _make_wav_dataset(tmp_path, n_items=6, seconds=0.3)
     hp = _hparams(tmp_path, processed)

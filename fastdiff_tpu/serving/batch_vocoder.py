@@ -38,6 +38,18 @@ class BatchedVocoder:
         self.frame_bucket = frame_bucket
         self.max_batch = max_batch
 
+    @classmethod
+    def from_sampler(cls, sampler: Callable, hop_size: int, mesh=None,
+                     frame_bucket: int = 128, max_batch: int = 16):
+        """Wrap an existing jitted ``sampler(key, mel, audio_length)``."""
+        self = cls.__new__(cls)
+        self.sampler = sampler
+        self.hop = hop_size
+        self.mesh = mesh or meshlib.make_mesh()
+        self.frame_bucket = frame_bucket
+        self.max_batch = max_batch
+        return self
+
     def _bucket(self, frames: int) -> int:
         b = self.frame_bucket
         return ((frames + b - 1) // b) * b

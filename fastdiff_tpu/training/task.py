@@ -41,7 +41,6 @@ class FastDiffTask:
 
     def __init__(self, hparams: dict):
         self.hparams = hparams
-        self.model_cfg = ModelConfig.from_hparams(hparams)
         self.diff_cfg = DiffusionConfig.from_hparams(hparams)
         self.audio_cfg = AudioConfig.from_hparams(hparams)
         self.train_cfg = TrainConfig.from_hparams(hparams)
@@ -52,11 +51,25 @@ class FastDiffTask:
         self._alpha = jnp.asarray(self.hyperparams.alpha)
         self._train_step_fn = None
         self._val_step_fn = None
+        # denoiser family: 'fastdiff' (default) or 'wavenet' (DiffWave-style)
+        # — the reference ships WaveNet as dead code; here it's trainable.
+        self.denoiser_type = str(hparams.get("denoiser", "fastdiff"))
+        if self.denoiser_type == "wavenet":
+            from fastdiff_tpu.models.wavenet import WaveNetConfig
+            self.model_cfg = WaveNetConfig.from_hparams(hparams)
+        else:
+            self.model_cfg = ModelConfig.from_hparams(hparams)
+
+    def _init_params(self, key):
+        if self.denoiser_type == "wavenet":
+            from fastdiff_tpu.models.wavenet import init_wavenet
+            return init_wavenet(key, self.model_cfg)
+        return init_fastdiff(key, self.model_cfg)
 
     # -- state -------------------------------------------------------------
     def build_state(self, seed: int = None) -> Dict:
         seed = self.train_cfg.seed if seed is None else seed
-        params = init_fastdiff(jax.random.PRNGKey(seed), self.model_cfg)
+        params = self._init_params(jax.random.PRNGKey(seed))
         print(f"| model params: {num_params(params) / 1e6:.3f}M")
         load_ckpt = self.hparams.get("load_ckpt", "")
         if load_ckpt:
@@ -83,6 +96,12 @@ class FastDiffTask:
     # -- denoiser ----------------------------------------------------------
     def denoise_fn(self, params):
         cfg = self.model_cfg
+        if self.denoiser_type == "wavenet":
+            from fastdiff_tpu.models.wavenet import wavenet_apply
+
+            def fn(x, mel, t):
+                return wavenet_apply(params, x, mel, t, cfg)
+            return fn
 
         def fn(x, mel, t):
             return fastdiff_apply(params, x, mel, t, cfg)

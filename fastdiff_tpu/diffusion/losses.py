@@ -9,7 +9,7 @@ regress the model's epsilon estimate onto z with MSE.
 
 from __future__ import annotations
 
-from typing import Callable, Tuple
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -23,8 +23,6 @@ accumulation; diffusion arithmetic around the network stays f32.
 
 from __future__ import annotations
 
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

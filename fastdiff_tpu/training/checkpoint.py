@@ -19,7 +19,6 @@ imported separately (fastdiff_tpu/utils/ckpt_import.py).
 from __future__ import annotations
 
 import glob
-import json
 import os
 import re
 from typing import Optional, Tuple

@@ -14,10 +14,9 @@ hooks); RNG is an explicit threaded key, split per step.
 
 from __future__ import annotations
 
-import functools
 import os
 import time
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -208,11 +208,13 @@ def _kernel_predictor_apply(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     kb = fnn.conv1d(p["bias_conv"], c, compute_dtype=dtype, impl=cfg.conv_impl)
 
     b, frames, _ = kw.shape
-    # torch channel order of the prediction is C-order (layers, Cin, Cout, K)
-    # (modules.py:333-338); transpose into our LVC layout (..., K, Cin, Cout).
-    kernels = kw.reshape(b, frames, layers, cin, cout, k)
-    kernels = kernels.transpose(0, 2, 1, 5, 3, 4)
-    biases = kb.reshape(b, frames, layers, cout).transpose(0, 2, 1, 3)
+    # kernel_conv output channels are stored in (layers, K, Cin, Cout) order
+    # — our init is permutation-invariant and the torch importer permutes
+    # from the reference's (layers, Cin, Cout, K) C-order (modules.py:333-338)
+    # at load time — so this reshape is layout-free: no transpose of the
+    # model's largest activation tensor.
+    kernels = kw.reshape(b, frames, layers, k, cin, cout)
+    biases = kb.reshape(b, frames, layers, cout)
     return kernels, biases
 
 
@@ -258,8 +260,8 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
         y = fnn.conv1d(p["convs"][i], y, dilation=3 ** i, compute_dtype=dtype,
                        impl=cfg.conv_impl)
         y = fnn.leaky_relu(y, 0.2)
-        x = lvc_fn(x, y, kernels[:, i].astype(dtype),
-                   biases[:, i].astype(jnp.float32), hop)
+        x = lvc_fn(x, y, kernels[:, :, i].astype(dtype),
+                   biases[:, :, i].astype(jnp.float32), hop)
     return x
 
 

@@ -83,6 +83,27 @@ def convert_torch_state_dict(sd: Dict, cfg: ModelConfig,
         "downsample": [],
         "lvc_blocks": [],
     }
+    # kernel_conv output-channel permutation: the reference predicts kernels
+    # in C-order (layers, Cin, Cout, K) (modules.py:333-338); our model
+    # stores them in (layers, K, Cin, Cout) order so the per-frame reshape
+    # is layout-free (models/fastdiff.py _kernel_predictor_apply).
+    layers = cfg.lvc_layers_each_block
+    cin = cfg.inner_channels
+    cout = 2 * cfg.inner_channels
+    ksz = cfg.lvc_kernel_size
+    old = np.arange(layers * cin * cout * ksz).reshape(layers, cin, cout, ksz)
+    kernel_perm = old.transpose(0, 3, 1, 2).reshape(-1)  # new_idx -> old_idx
+
+    def permute_out_channels(p: dict, perm: np.ndarray) -> dict:
+        out = dict(p)
+        for key in ("w", "v"):
+            if key in out:
+                out[key] = np.ascontiguousarray(out[key][..., perm])
+        for key in ("g", "b"):
+            if key in out:
+                out[key] = np.ascontiguousarray(out[key][perm])
+        return out
+
     for n in range(n_blocks):
         params["downsample"].append({
             "residual_dense": _conv_from_torch(
@@ -107,7 +128,9 @@ def convert_torch_state_dict(sd: Dict, cfg: ModelConfig,
                     _conv_from_torch(sd, f"{kp}.residual_conv.{i}", fuse)
                     for i in _RESIDUAL_CONV_IDX
                 ],
-                "kernel_conv": _conv_from_torch(sd, f"{kp}.kernel_conv", fuse),
+                "kernel_conv": permute_out_channels(
+                    _conv_from_torch(sd, f"{kp}.kernel_conv", fuse),
+                    kernel_perm),
                 "bias_conv": _conv_from_torch(sd, f"{kp}.bias_conv", fuse),
             },
         })

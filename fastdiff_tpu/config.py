@@ -146,11 +146,15 @@ class TrainConfig:
 
     @classmethod
     def from_hparams(cls, hp: dict) -> "TrainConfig":
+        max_sentences = int(hp.get("max_sentences", 20))
+        max_valid = int(hp.get("max_valid_sentences", 1))
+        if max_valid == -1:  # reference: -1 -> use the train batch size
+            max_valid = max_sentences
         return cls(
             max_updates=int(hp.get("max_updates", 1000000)),
             max_samples=int(hp.get("max_samples", 25600)),
-            max_sentences=int(hp.get("max_sentences", 20)),
-            max_valid_sentences=int(hp.get("max_valid_sentences", 1)),
+            max_sentences=max_sentences,
+            max_valid_sentences=max_valid,
             val_check_interval=int(hp.get("val_check_interval", 2000)),
             num_sanity_val_steps=int(hp.get("num_sanity_val_steps", 2)),
             lr=float(hp.get("lr", 2e-4)),

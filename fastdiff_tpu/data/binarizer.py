@@ -95,8 +95,10 @@ class VocoderBinarizer:
         hp = hparams if hparams is not None else global_hp
         cfg = cls.audio_config(hp)
         wav, _ = audio_io.load_wav(wav_fn, target_sr=cfg.sample_rate)
-        wav, mel = wav2mel_np(wav, cfg)
-        return {
+        with_linear = bool((binarization_args or {}).get("with_linear"))
+        out = wav2mel_np(wav, cfg, return_linear=with_linear)
+        wav, mel = out[0], out[1]
+        item = {
             "item_name": item_name,
             "wav_fn": wav_fn,
             "mel": mel.T.astype(np.float32),        # (T, n_mels), pwg layout
@@ -104,6 +106,9 @@ class VocoderBinarizer:
             "sec": len(wav) / cfg.sample_rate,
             "len": mel.shape[1],
         }
+        if with_linear:
+            item["linear"] = out[2].T.astype(np.float32)  # (T, bins)
+        return item
 
     @classmethod
     def process_mel_item(cls, item_name: str, mel, wav_fn, binarization_args: dict):

@@ -121,13 +121,15 @@ def stft_magnitude_np(wav: np.ndarray, n_fft: int, hop_size: int,
     return np.abs(spec).T.astype(np.float32)
 
 
-def wav2mel_np(wav: np.ndarray, cfg: AudioConfig):
+def wav2mel_np(wav: np.ndarray, cfg: AudioConfig, return_linear: bool = False):
     """Reference ``process_utterance`` semantics: (padded wav, log-mel).
 
     Returns ``wav`` zero-padded on the right to ``frames * hop`` samples and
     ``mel`` of shape (n_mels, frames). Matches
     data_gen/tts/data_gen_utils.py:122-147: constant STFT padding for the
     pwg front-end, reflect for tacotron; log10/ln compression respectively.
+    With ``return_linear`` also returns the raw magnitude STFT (bins, frames)
+    (the reference's with_linear binarization path, data_gen_utils.py:141-147).
     """
     pad_mode = "constant" if cfg.mel_compression == "log10" else "reflect"
     spc = stft_magnitude_np(wav, cfg.fft_size, cfg.hop_size, cfg.win_size, pad_mode)
@@ -143,6 +145,9 @@ def wav2mel_np(wav: np.ndarray, cfg: AudioConfig):
     r_pad = (n // cfg.hop_size + 1) * cfg.hop_size - n
     wav = np.pad(wav, (0, r_pad), mode="constant")
     wav = wav[: mel.shape[1] * cfg.hop_size]
+    if return_linear:
+        return (wav.astype(np.float32), mel.astype(np.float32),
+                spc.astype(np.float32))
     return wav.astype(np.float32), mel.astype(np.float32)
 
 

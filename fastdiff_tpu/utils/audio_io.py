@@ -39,3 +39,15 @@ def save_wav(wav: np.ndarray, path: str, sr: int, norm: bool = False) -> None:
     if norm:
         wav = wav / max(1e-9, np.abs(wav).max())
     wavfile.write(path, sr, (wav * 32767.0).astype(np.int16))
+
+
+def to_mp3(out_path: str) -> None:
+    """Convert ``<out_path>.wav`` to mp3 via ffmpeg and remove the wav
+    (reference: utils/audio.py:19-23). Raises if ffmpeg is unavailable."""
+    import os
+    import subprocess
+    subprocess.check_call(
+        f'ffmpeg -threads 1 -loglevel error -i "{out_path}.wav" -vn '
+        f'-ar 44100 -ac 1 -b:a 192k -y -hide_banner "{out_path}.mp3"',
+        shell=True)
+    os.remove(f"{out_path}.wav")

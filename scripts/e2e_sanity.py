@@ -1,8 +1,10 @@
 """End-to-end learning sanity on real hardware: binarize synthetic tones ->
 train 2500 steps -> vocode test split -> spectral metrics vs ground truth.
 
-Last validated on a TPU v5e chip: val loss 1.0 -> 0.136, test-split
-MCD 14.7 dB / mel-L2 4.69 after 2500 steps (~18 min incl. compiles).
+Last validated on a TPU v5e chip: val loss 1.0 -> 0.136 by 2500 steps,
+test-split MCD ~14.7 dB / mel-L2 ~4.7 (plateaus on this tiny synthetic set;
+the point is the pipeline demonstrably learns and the full CLI inference
+path reproduces it).
 
     python scripts/e2e_sanity.py [workdir]
 """
@@ -69,7 +71,8 @@ result = trainer.fit()
 print(f"training done in {(time.time()-t0)/60:.1f} min, val={result['val']}", flush=True)
 
 results = trainer.test()
-gen_dir = glob.glob(f"{hp['work_dir']}/generated_*")[0]
+gen_dir = max(glob.glob(f"{hp['work_dir']}/generated_*"),
+              key=lambda d: int(d.split("generated_")[1].split("_")[0]))
 from fastdiff_tpu.utils import metrics
 from fastdiff_tpu.config import AudioConfig
 cfg = AudioConfig()

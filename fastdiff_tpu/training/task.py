@@ -50,6 +50,9 @@ class FastDiffTask:
         self._alpha = jnp.asarray(self.hyperparams.alpha)
         self._train_step_fn = None
         self._val_step_fn = None
+        # EMA of params for eval/inference (common diffusion practice the
+        # reference lacks); 0 disables.
+        self.ema_decay = float(hparams.get("ema_decay", 0.0) or 0.0)
         # denoiser family: 'fastdiff' (default) or 'wavenet' (DiffWave-style)
         # — the reference ships WaveNet as dead code; here it's trainable.
         self.denoiser_type = str(hparams.get("denoiser", "fastdiff"))
@@ -76,6 +79,8 @@ class FastDiffTask:
         opt_state = self.optimizer.init(params)
         state = {"params": params, "opt_state": opt_state,
                  "step": jnp.zeros((), jnp.int32)}
+        if self.ema_decay > 0:
+            state["ema"] = jax.tree_util.tree_map(jnp.array, params)
         return meshlib.replicate(state, self.mesh)
 
     def _load_external_params(self, path: str, params):
@@ -138,6 +143,11 @@ class FastDiffTask:
             gnorm = optax_global_norm(grads)
             new_state = {"params": new_params, "opt_state": new_opt,
                          "step": state["step"] + 1}
+            if self.ema_decay > 0:
+                d = jnp.float32(self.ema_decay)
+                new_state["ema"] = jax.tree_util.tree_map(
+                    lambda e, q: e * d + q.astype(e.dtype) * (1 - d),
+                    state["ema"], new_params)
             metrics = {"loss": loss, "grad_norm": gnorm,
                        "nonfinite": 1.0 - finite.astype(jnp.float32)}
             return new_state, metrics

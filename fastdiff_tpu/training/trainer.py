@@ -53,13 +53,18 @@ class Trainer:
                       "opt_state": state["opt_state"],
                       "step": np.zeros((), np.int32),
                       "best_val": np.zeros((), np.float32)}
+        if "ema" in state:
+            host_state["ema"] = state["ema"]
         restored = ckpt.load_checkpoint(path, host_state)
         bv = float(restored.get("best_val", 0.0))
         self.best_val = bv if bv > 0 else None
         from fastdiff_tpu.parallel import mesh as meshlib
-        state = meshlib.replicate(
-            {"params": restored["params"], "opt_state": restored["opt_state"],
-             "step": np.asarray(restored["step"], np.int32)}, self.task.mesh)
+        new_state = {"params": restored["params"],
+                     "opt_state": restored["opt_state"],
+                     "step": np.asarray(restored["step"], np.int32)}
+        if "ema" in restored:
+            new_state["ema"] = restored["ema"]
+        state = meshlib.replicate(new_state, self.task.mesh)
         print(f"| restored checkpoint {os.path.basename(path)} (step {step})")
         return state, int(restored["step"])
 
@@ -101,6 +106,8 @@ class Trainer:
             "step": np.asarray(step, np.int32),
             "best_val": np.asarray(self.best_val or 0.0, np.float32),
         }
+        if "ema" in state:
+            host_state["ema"] = state["ema"]
         path = ckpt.save_checkpoint(self.work_dir, step, host_state,
                                     num_keep=self.cfg.num_ckpt_keep,
                                     is_best=is_best)
@@ -169,9 +176,10 @@ class Trainer:
         if state is None:
             state = task.build_state()
         state, step = self.restore(state)
-        # inference-only: fuse weight-norm (g, v) pairs once
+        # inference-only: prefer EMA params when tracked, fuse weight norm
         from fastdiff_tpu.models.fastdiff import fuse_weight_norm
-        state = {**state, "params": fuse_weight_norm(state["params"])}
+        infer_params = state.get("ema", state["params"])
+        state = {**state, "params": fuse_weight_norm(infer_params)}
         constants = task.sampler_constants()
         sampler = task.make_test_sampler(state, constants)
         gen_dir = os.path.join(

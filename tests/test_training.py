@@ -131,6 +131,32 @@ def test_training_reduces_loss_on_overfit(tmp_path):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
+def test_ema_tracking(tmp_path):
+    """ema_decay > 0 tracks an EMA copy, checkpoints it, and inference
+    prefers it."""
+    hp = _tiny_hparams(tmp_path)
+    hp.update(ema_decay=0.9, max_updates=4, val_check_interval=2,
+              num_sanity_val_steps=0, tb_log_interval=2, eval_max_batches=1,
+              work_dir=str(tmp_path / "work_ema"))
+    VocoderBinarizer(hp).process()
+    task = FastDiffTask(hp)
+    state = task.build_state()
+    assert "ema" in state
+    batch = next(task.train_dataloader())
+    state2, _ = task.train_step(state, batch, jax.random.PRNGKey(0))
+    # EMA moved toward params but isn't equal to them
+    p = jax.tree_util.tree_leaves(state2["params"])[0]
+    e = jax.tree_util.tree_leaves(state2["ema"])[0]
+    assert not np.allclose(np.asarray(p), np.asarray(e))
+
+    trainer = Trainer(task, hp["work_dir"])
+    result = trainer.fit(state2)
+    # resume restores the ema branch
+    task2 = FastDiffTask(hp)
+    state3, step = Trainer(task2, hp["work_dir"]).restore(task2.build_state())
+    assert "ema" in state3 and step >= 4
+
+
 def test_inference_writes_wavs(trained):
     tmp_path, hp, _ = trained
     task = FastDiffTask(hp)

@@ -27,9 +27,34 @@ import time
 import numpy as np
 
 
+def _wait_for_healthy_chip(max_wait_s: float = 600.0) -> float:
+    """Gate on a tiny-op latency check: chip sessions in this environment
+    are sometimes degraded by leaked device grants; measuring then would
+    under-report by 2-10x. Returns the observed tiny-op latency (ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    probe = jax.jit(lambda v: v + 1)
+    x = jnp.ones((8, 128), jnp.float32)
+    deadline = time.time() + max_wait_s
+    while True:
+        probe(x).block_until_ready()
+        times = []
+        for _ in range(8):
+            t0 = time.perf_counter()
+            probe(x).block_until_ready()
+            times.append(time.perf_counter() - t0)
+        lat = float(np.median(times)) * 1000.0
+        if lat < 0.5 or time.time() > deadline:
+            return lat
+        time.sleep(30.0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
+
+    _wait_for_healthy_chip()
 
     from fastdiff_tpu.config import DiffusionConfig, ModelConfig
     from fastdiff_tpu.diffusion import schedules

@@ -296,3 +296,21 @@ def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
     out = fnn.conv1d(params["final_conv"], x, compute_dtype=dtype,
                      impl=cfg.conv_impl)
     return out.astype(jnp.float32)
+
+
+def describe_params(params, name: str = "model") -> str:
+    """Human-readable parameter summary (the reference prints arch + count
+    via utils/__init__.py:267-277 print_arch/num_params)."""
+    lines = [f"| {name}: {num_params(params) / 1e6:.3f}M params"]
+
+    def walk(tree, prefix):
+        if isinstance(tree, dict):
+            for key, val in tree.items():
+                walk(val, f"{prefix}.{key}" if prefix else key)
+        elif isinstance(tree, list):
+            lines.append(f"|   {prefix}[0..{len(tree) - 1}]: "
+                         f"{num_params(tree) / 1e6:.3f}M")
+        else:
+            pass
+    walk(params, "")
+    return "\n".join(lines)

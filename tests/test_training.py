@@ -131,6 +131,29 @@ def test_training_reduces_loss_on_overfit(tmp_path):
     assert np.mean(losses[-5:]) < np.mean(losses[:5]), losses
 
 
+def test_inference_from_raw_wav_dir(trained, tmp_path):
+    """wav->wav inference: --infer with test_input_dir featurizes raw wavs
+    through the binarizer front-end (dataset_utils.py:167-184 path)."""
+    _, hp, _ = trained
+    wav_dir = str(tmp_path / "raw_in")
+    os.makedirs(wav_dir, exist_ok=True)
+    sr = 22050
+    t = np.arange(sr // 2) / sr
+    audio_io.save_wav((0.4 * np.sin(2 * np.pi * 260 * t)).astype(np.float32),
+                      os.path.join(wav_dir, "in0.wav"), sr)
+    hp2 = dict(hp)
+    hp2.update(test_input_dir=wav_dir, gen_dir_name="rawwav")
+    task = FastDiffTask(hp2)
+    trainer = Trainer(task, hp2["work_dir"])
+    results = trainer.test()
+    assert len(results) == 1
+    gen = glob.glob(os.path.join(hp2["work_dir"], "generated_*rawwav"))[0]
+    preds = glob.glob(os.path.join(gen, "*_pred.wav"))
+    assert len(preds) == 1
+    wav, _ = audio_io.load_wav(preds[0])
+    assert len(wav) > 0 and np.isfinite(wav).all()
+
+
 def test_ema_tracking(tmp_path):
     """ema_decay > 0 tracks an EMA copy, checkpoints it, and inference
     prefers it."""
@@ -163,7 +186,8 @@ def test_inference_writes_wavs(trained):
     trainer = Trainer(task, hp["work_dir"])
     results = trainer.test()
     assert len(results) == 2        # test split = 2 items
-    gen_dirs = glob.glob(os.path.join(hp["work_dir"], "generated_*"))
+    gen_dirs = [d for d in glob.glob(os.path.join(hp["work_dir"], "generated_*"))
+                if d.endswith("_")]          # default gen_dir_name='' suffix
     assert gen_dirs
     preds = glob.glob(os.path.join(gen_dirs[0], "*_pred.wav"))
     gts = glob.glob(os.path.join(gen_dirs[0], "*_gt.wav"))

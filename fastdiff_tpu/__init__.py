@@ -39,6 +39,8 @@ def __getattr__(name):
         "BatchedVocoder": ("fastdiff_tpu.serving.batch_vocoder", "BatchedVocoder"),
         "ChunkedVocoder": ("fastdiff_tpu.serving.chunked_vocoder", "ChunkedVocoder"),
         "make_sampler": ("fastdiff_tpu.diffusion.sampler", "make_sampler"),
+        "make_param_sampler": ("fastdiff_tpu.diffusion.sampler",
+                               "make_param_sampler"),
         "load_torch_checkpoint": ("fastdiff_tpu.utils.ckpt_import",
                                   "load_torch_checkpoint"),
     }

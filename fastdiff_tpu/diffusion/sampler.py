@@ -91,10 +91,47 @@ def _jitted_sample(denoise_fn, key, mel, beta, alpha, sigma, steps,
 def make_sampler(denoise_fn: Callable, constants: SamplerConstants,
                  ddim: bool = False) -> Callable:
     """Return ``sample(key, mel, audio_length) -> wav`` with jit caching per
-    (audio_length, batch) bucket."""
+    (audio_length, batch) bucket.
+
+    The params live inside the ``denoise_fn`` closure, which is a *static*
+    jit key — fine for one-shot CLI inference, wrong for serving many
+    states: prefer ``make_param_sampler`` there (params traced, one compile
+    across checkpoints / EMA updates).
+    """
     def sample(key, mel, audio_length: int):
         return _jitted_sample(
             denoise_fn, key, mel,
+            jnp.asarray(constants.beta), jnp.asarray(constants.alpha),
+            jnp.asarray(constants.sigma), jnp.asarray(constants.steps),
+            audio_length, constants.n_steps, ddim)
+    return sample
+
+
+@functools.partial(jax.jit, static_argnames=("apply_fn", "audio_length",
+                                             "n_steps", "ddim"))
+def _jitted_param_sample(apply_fn, params, key, mel, beta, alpha, sigma,
+                         steps, audio_length, n_steps, ddim):
+    constants = SamplerConstants(beta=beta, alpha=alpha, sigma=sigma, steps=steps)
+    return sampling_given_noise_schedule(
+        lambda x, m, t: apply_fn(params, x, m, t), key, mel, constants,
+        audio_length, ddim=ddim)
+
+
+def make_param_sampler(apply_fn: Callable, constants: SamplerConstants,
+                       ddim: bool = False) -> Callable:
+    """Return ``sample(params, key, mel, audio_length) -> wav`` where params
+    are a *traced* pytree argument.
+
+    The compile cache is keyed only on ``apply_fn`` identity + shapes, so two
+    different states (a new checkpoint, an EMA snapshot) sample through the
+    same compiled executable — the serving-shaped API the closure-based
+    ``make_sampler`` can't provide. ``apply_fn(params, x, mel, t)`` must be
+    an identity-stable callable (cache it on the caller, don't rebuild a
+    lambda per call).
+    """
+    def sample(params, key, mel, audio_length: int):
+        return _jitted_param_sample(
+            apply_fn, params, key, mel,
             jnp.asarray(constants.beta), jnp.asarray(constants.alpha),
             jnp.asarray(constants.sigma), jnp.asarray(constants.steps),
             audio_length, constants.n_steps, ddim)

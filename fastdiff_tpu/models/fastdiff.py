@@ -37,6 +37,25 @@ def _use_pallas(cfg: ModelConfig) -> bool:
     """Fused Pallas LVC only on TPU backends (and when enabled in config)."""
     return cfg.use_pallas_lvc and jax.default_backend() not in ("cpu", "gpu")
 
+
+_APPLY_FNS: dict = {}
+
+
+def get_apply_fn(cfg: ModelConfig):
+    """Identity-stable ``apply(params, x, mel, t)`` for a given config.
+
+    Cached per (hashable, frozen) ModelConfig so it can serve as a *static*
+    jit key: every sampler/vocoder instance built for the same config shares
+    one compiled executable, with params passed as a traced pytree
+    (fastdiff_tpu.diffusion.sampler.make_param_sampler).
+    """
+    fn = _APPLY_FNS.get(cfg)
+    if fn is None:
+        def fn(params, x, mel, t):
+            return fastdiff_apply(params, x, mel, t, cfg)
+        _APPLY_FNS[cfg] = fn
+    return fn
+
 # ---------------------------------------------------------------------------
 # Diffusion step embedding
 # ---------------------------------------------------------------------------

@@ -151,6 +151,21 @@ def _upsample_mel(upsamplers, mel: jnp.ndarray, strides, length: int,
     return x[:, :length, :]
 
 
+_APPLY_FNS: dict = {}
+
+
+def get_apply_fn(cfg: "WaveNetConfig"):
+    """Identity-stable ``apply(params, x, mel, t)`` per frozen config (same
+    contract as models.fastdiff.get_apply_fn: a stable static jit key so the
+    param-traced sampler shares compiles across states/instances)."""
+    fn = _APPLY_FNS.get(cfg)
+    if fn is None:
+        def fn(params, x, mel, t):
+            return wavenet_apply(params, x, mel, t, cfg)
+        _APPLY_FNS[cfg] = fn
+    return fn
+
+
 def wavenet_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
                   t: jnp.ndarray, cfg: WaveNetConfig) -> jnp.ndarray:
     """Epsilon prediction: audio (B, T, C_in), mel (B, T', n_mels),

@@ -50,6 +50,7 @@ class FastDiffTask:
         self._alpha = jnp.asarray(self.hyperparams.alpha)
         self._train_step_fn = None
         self._val_step_fn = None
+        self._param_apply_fn = None
         # EMA of params for eval/inference (common diffusion practice the
         # reference lacks); 0 disables.
         self.ema_decay = float(hparams.get("ema_decay", 0.0) or 0.0)
@@ -110,6 +111,19 @@ class FastDiffTask:
         def fn(x, mel, t):
             return fastdiff_apply(params, x, mel, t, cfg)
         return fn
+
+    def param_apply_fn(self):
+        """Identity-stable ``apply(params, x, mel, t)`` — the static jit key
+        for the param-traced sampler. Cached per frozen model config, so
+        every state (checkpoints, EMA snapshots) and every task/vocoder
+        instance with the same config shares one compiled sampler."""
+        if self._param_apply_fn is None:
+            if self.denoiser_type == "wavenet":
+                from fastdiff_tpu.models.wavenet import get_apply_fn
+            else:
+                from fastdiff_tpu.models.fastdiff import get_apply_fn
+            self._param_apply_fn = get_apply_fn(self.model_cfg)
+        return self._param_apply_fn
 
     # -- train/val ---------------------------------------------------------
     def _loss(self, params, batch, rng):
@@ -214,10 +228,20 @@ class FastDiffTask:
         return schedules.sampler_constants_for_schedule(sched, self.hyperparams)
 
     def make_test_sampler(self, state, constants):
-        """Jitted sampler bound to this state's params (compile cached per
-        padded length bucket)."""
-        from fastdiff_tpu.diffusion.sampler import make_sampler
-        return make_sampler(self.denoise_fn(state["params"]), constants)
+        """Jitted sampler bound to this state's params.
+
+        Params are a *traced* argument (fastdiff_tpu.diffusion.sampler.
+        make_param_sampler): the compile cache is keyed on shapes + the
+        task-cached apply_fn only, so sampling from a new checkpoint or an
+        EMA snapshot reuses the compiled executable instead of recompiling
+        the whole reverse process."""
+        from fastdiff_tpu.diffusion.sampler import make_param_sampler
+        psample = make_param_sampler(self.param_apply_fn(), constants)
+        params = state["params"]
+
+        def sample(key, mel, audio_length: int):
+            return psample(params, key, mel, audio_length)
+        return sample
 
     def test_step(self, state, sample: Dict, sampler, gen_dir: str,
                   key) -> Dict:

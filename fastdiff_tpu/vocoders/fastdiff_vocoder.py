@@ -19,8 +19,8 @@ import numpy as np
 
 from fastdiff_tpu.config import DiffusionConfig, ModelConfig
 from fastdiff_tpu.diffusion import schedules
-from fastdiff_tpu.diffusion.sampler import make_sampler
-from fastdiff_tpu.models.fastdiff import (fastdiff_apply, fuse_weight_norm,
+from fastdiff_tpu.diffusion.sampler import make_param_sampler
+from fastdiff_tpu.models.fastdiff import (fuse_weight_norm, get_apply_fn,
                                           init_fastdiff)
 from fastdiff_tpu.vocoders.base import BaseVocoder, register_vocoder
 
@@ -39,13 +39,15 @@ class FastDiff(BaseVocoder):
         constants = schedules.sampler_constants_for_schedule(
             sched, self.hyperparams)
 
-        cfg = self.model_cfg
+        # params traced / apply_fn cached per config: reloading a checkpoint
+        # or constructing a second vocoder reuses the compiled sampler.
+        psample = make_param_sampler(get_apply_fn(self.model_cfg), constants)
         params = self.params
 
-        def denoise(x, mel, t):
-            return fastdiff_apply(params, x, mel, t, cfg)
+        def sampler(key, mel, audio_length):
+            return psample(params, key, mel, audio_length)
 
-        self._sampler = make_sampler(denoise, constants)
+        self._sampler = sampler
         self._key = jax.random.PRNGKey(int(hp.get("seed", 1234)))
         # long-utterance chunking (0 = off): one compiled shape + O(1) memory
         chunk = int(hp.get("chunked_infer_frames", 0) or 0)

@@ -30,6 +30,7 @@ class ModelConfig:
     diffusion_step_embed_dim_out: int = 512
     use_weight_norm: bool = True
     use_pallas_lvc: bool = False
+    use_pallas_block: bool = False  # whole-LVC-block megakernel (TPU only)
     compute_dtype: str = "bfloat16"
     conv_impl: str = "dot"          # "dot" (shifted matmuls; 2x faster
                                     # on TPU) | "lax" (conv_general_dilated)
@@ -68,6 +69,7 @@ class ModelConfig:
             diffusion_step_embed_dim_out=int(hp.get("diffusion_step_embed_dim_out", 512)),
             use_weight_norm=bool(hp.get("use_weight_norm", True)),
             use_pallas_lvc=bool(hp.get("use_pallas_lvc", False)),
+            use_pallas_block=bool(hp.get("use_pallas_block", False)),
             compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
             conv_impl=str(hp.get("conv_impl", "dot")),
         )

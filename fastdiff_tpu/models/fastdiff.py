@@ -269,6 +269,17 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
         torch_padding=ratio // 2 + ratio % 2, output_padding=ratio % 2,
         compute_dtype=dtype)
 
+    if cfg.use_pallas_block:
+        from fastdiff_tpu.ops.lvc_block_pallas import fusable, lvc_block_fused
+        if fusable(hop, kernels.shape[1]):
+            conv_ws = jnp.stack([fnn.conv_weight(cv) for cv in p["convs"]])
+            conv_bs = jnp.stack([cv["b"] for cv in p["convs"]])
+            # interpret mode keeps the integration path testable on CPU
+            return lvc_block_fused(
+                x, skip, kernels.astype(dtype), biases.astype(jnp.float32),
+                conv_ws.astype(dtype), conv_bs.astype(jnp.float32), hop,
+                jax.default_backend() == "cpu")
+
     if _use_pallas(cfg):
         from fastdiff_tpu.ops.lvc_pallas import lvc_gated_pallas as lvc_fn
     else:

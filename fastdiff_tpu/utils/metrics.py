@@ -9,8 +9,8 @@ set used in the FastDiff paper's ablations:
 - MCD (mel-cepstral distortion) over DCT cepstra of the log-mel,
 - log-mel L2 distance (MSD) and multi-resolution STFT distance
   (spectral-convergence + log-magnitude, the Parallel WaveGAN aux loss),
-- PESQ is intentionally absent (needs a licensed codec implementation);
-  MCD+MR-STFT are the reproducible proxies.
+- PESQ (P.862/P.862.2 MOS-LQO), implemented from spec in
+  fastdiff_tpu/utils/pesq.py (see its validation note),
 - RTF: generation-seconds per audio-second, measured with
   ``block_until_ready`` fencing.
 """
@@ -76,6 +76,14 @@ def multi_resolution_stft_distance(wav_a, wav_b,
                      - np.log(np.maximum(sb, 1e-7))).mean()
         total += sc + mag
     return float(total / len(resolutions))
+
+
+def pesq_mos(wav_ref, wav_deg, sample_rate: int = 22050,
+             mode: str = "wb") -> float:
+    """PESQ MOS-LQO (P.862.2 wideband by default) — the perceptual half of
+    the BASELINE parity metric pair. Delegates to fastdiff_tpu.utils.pesq."""
+    from fastdiff_tpu.utils.pesq import pesq
+    return pesq(np.asarray(wav_ref), np.asarray(wav_deg), sample_rate, mode)
 
 
 def laplace_var(spec: np.ndarray) -> float:

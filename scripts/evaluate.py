@@ -3,8 +3,9 @@
     python scripts/evaluate.py <gen_dir>            # uses *_pred.wav/*_gt.wav
     python scripts/evaluate.py <pred_dir> <gt_dir>  # matched filenames
 
-Reports MCD, log-mel spectral distance, and multi-resolution STFT distance
-(BASELINE.md's parity metrics; the reference has no evaluation code at all).
+Reports MCD, log-mel spectral distance, multi-resolution STFT distance and
+PESQ MOS-LQO (BASELINE.md's parity metrics; the reference has no evaluation
+code at all).
 """
 
 import glob
@@ -55,12 +56,13 @@ def main():
             "mcd": metrics.mcd(pred, gt, cfg),
             "msd": metrics.mel_spectral_distance(pred, gt, cfg),
             "mrstft": metrics.multi_resolution_stft_distance(pred, gt),
+            "pesq": metrics.pesq_mos(gt, pred, cfg.sample_rate),
         })
         r = rows[-1]
         print(f"{r['item']:40s} mcd={r['mcd']:6.2f} msd={r['msd']:6.2f} "
-              f"mrstft={r['mrstft']:6.3f}")
+              f"mrstft={r['mrstft']:6.3f} pesq={r['pesq']:5.2f}")
     print("-" * 70)
-    for key in ("mcd", "msd", "mrstft"):
+    for key in ("mcd", "msd", "mrstft", "pesq"):
         vals = [r[key] for r in rows]
         print(f"mean {key}: {np.mean(vals):.3f} (+/- {np.std(vals):.3f})")
     return 0

@@ -11,13 +11,15 @@ Mesh axes (config ``mesh_axes``): the first axis is the data-parallel axis
 long utterances at inference) can be declared in configs; the trainer only
 requires ``dp``.
 
-Multi-host: ``jax.distributed.initialize()`` must be called by the launcher
-before this module builds the mesh; ``jax.devices()`` then spans all hosts and
-data loading shards by ``jax.process_index()``.
+Multi-host: ``maybe_initialize_distributed()`` (called from the CLI entry
+point) runs ``jax.distributed.initialize()`` when the standard TPU multi-host
+environment is present; ``jax.devices()`` then spans all hosts and data
+loading shards by ``jax.process_index()``.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -25,6 +27,44 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fastdiff_tpu.config import MeshConfig
+
+_DISTRIBUTED_INITIALIZED = False
+
+
+def maybe_initialize_distributed(hparams: Optional[dict] = None) -> bool:
+    """Call ``jax.distributed.initialize()`` when running multi-host.
+
+    Triggers (first match wins):
+    - ``multihost: true`` in hparams / ``--hparams multihost=true``,
+    - ``FASTDIFF_MULTIHOST=1`` in the environment,
+    - standard JAX coordinator env (``JAX_COORDINATOR_ADDRESS`` +
+      ``JAX_NUM_PROCESSES``/``JAX_PROCESS_ID``), as set by TPU pod
+      launchers.
+
+    On Cloud TPU pods ``jax.distributed.initialize()`` auto-discovers the
+    coordinator from the TPU metadata, so no arguments are passed. Safe to
+    call more than once (no-op after the first) and a no-op on single-host.
+    Returns True when distributed mode is active.
+    """
+    global _DISTRIBUTED_INITIALIZED
+    if _DISTRIBUTED_INITIALIZED:
+        return True
+    want = bool((hparams or {}).get("multihost")) \
+        or os.environ.get("FASTDIFF_MULTIHOST") == "1" \
+        or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+    if not want:
+        return False
+    kwargs = {}
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        kwargs = dict(
+            coordinator_address=os.environ["JAX_COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("JAX_NUM_PROCESSES", 1)),
+            process_id=int(os.environ.get("JAX_PROCESS_ID", 0)))
+    jax.distributed.initialize(**kwargs)
+    _DISTRIBUTED_INITIALIZED = True
+    print(f"| jax.distributed initialized: process "
+          f"{jax.process_index()}/{jax.process_count()}")
+    return True
 
 
 def make_mesh(cfg: Optional[MeshConfig] = None) -> Mesh:

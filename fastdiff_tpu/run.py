@@ -40,6 +40,10 @@ def run_task(hparams: dict):
 
 def main():
     hparams = set_hparams()
+    # multi-host TPU slices: initialize the distributed runtime before any
+    # backend use so jax.devices() spans the slice (see parallel/mesh.py)
+    from fastdiff_tpu.parallel.mesh import maybe_initialize_distributed
+    maybe_initialize_distributed(hparams)
     print(f"| jax devices: {jax.devices()}")
     run_task(hparams)
 

@@ -34,13 +34,21 @@ DEFAULT_HALO_FRAMES = 16
 
 class ChunkedVocoder:
     def __init__(self, sampler: Callable, hop_size: int,
-                 chunk_frames: int = 256, halo_frames: int = DEFAULT_HALO_FRAMES):
-        """sampler(key, mel (B, F, n_mels), audio_length) -> (B, L, 1)."""
+                 chunk_frames: int = 256, halo_frames: int = DEFAULT_HALO_FRAMES,
+                 per_chunk_keys: bool = False):
+        """sampler(key, mel (B, F, n_mels), audio_length) -> (B, L, 1).
+
+        ``per_chunk_keys`` draws each chunk's noise from a stream-position-
+        derived key (fold_in(key, chunk_idx)) in per-chunk sampler calls
+        instead of one batched call — bit-identical to the incremental
+        ``StreamingVocoder`` and O(1) memory, at the cost of batching.
+        """
         assert chunk_frames > 2 * halo_frames
         self.sampler = sampler
         self.hop = hop_size
         self.chunk = chunk_frames
         self.halo = halo_frames
+        self.per_chunk_keys = per_chunk_keys
 
     def vocode(self, mel: np.ndarray, key=None) -> np.ndarray:
         """mel (T, n_mels) -> wav (T * hop,). Short inputs go through in
@@ -62,8 +70,15 @@ class ChunkedVocoder:
         chunks = np.stack([
             mel_pad[i * core: i * core + self.chunk] for i in range(n_chunks)
         ])                                              # (n_chunks, chunk, M)
-        wavs = self.sampler(key, jnp.asarray(chunks), self.chunk * self.hop)
-        wavs = np.asarray(wavs)[..., 0]                 # (n_chunks, chunk*hop)
+        if self.per_chunk_keys:
+            wavs = np.stack([
+                np.asarray(self.sampler(jax.random.fold_in(key, i),
+                                        jnp.asarray(chunks[i])[None],
+                                        self.chunk * self.hop))[0, :, 0]
+                for i in range(n_chunks)])
+        else:
+            wavs = self.sampler(key, jnp.asarray(chunks), self.chunk * self.hop)
+            wavs = np.asarray(wavs)[..., 0]             # (n_chunks, chunk*hop)
 
         halo_s = self.halo * self.hop
         core_s = core * self.hop

@@ -211,12 +211,17 @@ class FastDiffTask:
             endless=self.train_cfg.endless_ds)
 
     def val_dataloader(self):
-        ds = VocoderDataset(self.hparams, self.hparams.get("valid_set_name", "valid"),
-                            shuffle=False)
+        # dataset (lengths + index) cached across validations: the trainer
+        # re-calls this every val_check_interval and reopening from disk
+        # each time is wasted IO (round-1 weak spot)
+        if getattr(self, "_val_ds", None) is None:
+            self._val_ds = VocoderDataset(
+                self.hparams, self.hparams.get("valid_set_name", "valid"),
+                shuffle=False)
         max_frames = self.train_cfg.max_samples // int(self.hparams["hop_size"])
         return train_batch_iterator(
-            ds, max(1, self.train_cfg.max_valid_sentences), max_frames,
-            seed=self.train_cfg.seed, endless=False)
+            self._val_ds, max(1, self.train_cfg.max_valid_sentences),
+            max_frames, seed=self.train_cfg.seed, endless=False)
 
     def test_dataloader(self):
         ds = VocoderDataset(self.hparams, self.hparams.get("test_set_name", "test"))

@@ -69,22 +69,35 @@ class Trainer:
         return state, int(restored["step"])
 
     # -- validation --------------------------------------------------------
-    def evaluate(self, state, max_batches: Optional[int] = None) -> dict:
+    def evaluate(self, state, max_batches: Optional[int] = None,
+                 step: Optional[int] = None) -> dict:
         meters = MeterBank()
         rng = jax.random.PRNGKey(self.cfg.seed + 777)
         loader = self.task.val_dataloader()
         if max_batches is not None and max_batches >= 0:
             loader = itertools.islice(loader, max_batches)
-        n = 0
+        n, first_batch = 0, None
         for batch in loader:
             rng, sub = jax.random.split(rng)
             out = self.task.val_step(state, batch, sub)
             meters.update({k: float(v) for k, v in out.items()},
                           n=batch["mels"].shape[0])
+            if first_batch is None:
+                first_batch = batch
             n += 1
         result = meters.averages()
         if n == 0:
             result = {"loss": float("nan")}
+        # validation figures (reference logs GT-vs-pred spectrograms during
+        # TTS validation, tasks/tts/tts_base.py:224-245); skipped for the
+        # pre-training sanity pass (step=None)
+        if (step is not None and first_batch is not None and self.is_main
+                and hasattr(self.task, "val_figures")):
+            try:
+                for tag, fig in self.task.val_figures(state, first_batch).items():
+                    self.logger.log_figure(tag, fig, step)
+            except Exception as e:   # figures must never kill training
+                print(f"| WARNING: val_figures failed: {e}")
         return result
 
     def _maybe_save(self, state, step: int, val_metrics: dict):
@@ -157,7 +170,8 @@ class Trainer:
                     sys.stdout.flush()
 
                 if step % self.cfg.val_check_interval == 0:
-                    val = self.evaluate(state, self.cfg.eval_max_batches)
+                    val = self.evaluate(state, self.cfg.eval_max_batches,
+                                        step=step)
                     self.logger.log(val, step, prefix="val/")
                     print(f"| validation @ {step}: {val}")
                     self._maybe_save(state, step, val)

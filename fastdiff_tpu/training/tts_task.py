@@ -137,9 +137,33 @@ class FastSpeech2Task:
         _, losses = self._loss(state["params"], batch)
         return {k: float(v) for k, v in losses.items()}
 
+    def val_figures(self, state, batch) -> Dict:
+        """GT-vs-predicted mel figures for the first validation batch
+        (reference: tasks/tts/tts_base.py:224-245 plot_mel)."""
+        from fastdiff_tpu.utils.plot import spec_to_figure
+        out = fastspeech2_apply(
+            state["params"], jnp.asarray(batch["tokens"]), self.model_cfg,
+            mel2ph=jnp.asarray(batch["mel2ph"]),
+            pitch=jnp.asarray(batch["pitch"]))
+        figs = {}
+        n_plots = min(int(self.hparams.get("num_valid_plots", 2)),
+                      batch["mels"].shape[0], 2)
+        for b in range(n_plots):
+            t_valid = int((batch["mel2ph"][b] > 0).sum()) or batch["mels"].shape[1]
+            gt = np.asarray(batch["mels"])[b, :t_valid]
+            pred = np.asarray(out["mel"])[b, :t_valid]
+            stacked = np.concatenate([gt, pred], axis=1)   # bins side by side
+            figs[f"mel_val_{b}"] = spec_to_figure(
+                stacked, title=f"val {b}: GT (left) vs pred (right)")
+        return figs
+
     # -- data --------------------------------------------------------------
     def _loader(self, prefix: str, batch_size: int, endless: bool) -> Iterator:
-        ds = VocoderDataset(self.hparams, prefix)
+        if not hasattr(self, "_datasets"):
+            self._datasets = {}
+        if prefix not in self._datasets:   # cache across validations
+            self._datasets[prefix] = VocoderDataset(self.hparams, prefix)
+        ds = self._datasets[prefix]
         n_mels = self.audio_cfg.num_mels
         stream = endless_index_stream(
             len(ds), self.train_cfg.seed, endless,

@@ -79,3 +79,41 @@ def test_tts_infer_to_wav(tts_data, tmp_path):
     assert len(wav) > 0 and np.isfinite(wav).all()
     import os
     assert os.path.exists(out)
+
+
+def test_val_figures_logged(tts_data, tmp_path):
+    """Validation logs GT-vs-pred mel figures through ScalarLogger
+    (reference behavior: tasks/tts/tts_base.py:224-245)."""
+    import glob
+    import os
+
+    from fastdiff_tpu.utils.logging_utils import ScalarLogger
+
+    task = FastSpeech2Task(tts_data)
+    state = task.build_state()
+    batch = next(task.val_dataloader())
+    figs = task.val_figures(state, batch)
+    assert figs, "val_figures returned nothing"
+
+    logger = ScalarLogger(str(tmp_path / "tb"))
+    for tag, fig in figs.items():
+        logger.log_figure(tag, fig, step=7)
+    logger.close()
+    pngs = glob.glob(os.path.join(str(tmp_path / "tb"), "figures", "*_7.png"))
+    assert len(pngs) == len(figs)
+
+
+def test_trainer_evaluate_writes_figures(tts_data, tmp_path):
+    """The Trainer's validation pass wires task.val_figures into the logger."""
+    import glob
+    import os
+
+    from fastdiff_tpu.training.trainer import Trainer
+
+    task = FastSpeech2Task(tts_data)
+    trainer = Trainer(task, str(tmp_path / "work"))
+    state = task.build_state()
+    trainer.evaluate(state, max_batches=1, step=3)
+    pngs = glob.glob(os.path.join(str(tmp_path / "work"), "tb_logs",
+                                  "figures", "*_3.png"))
+    assert pngs, "no validation figures written"

@@ -142,6 +142,140 @@ class VocoderPreAlign:
         print(f"| pre-align wrote {len(rows)} items -> {processed_dir}/metadata_phone.csv")
 
 
+def is_sil_phoneme(p: str) -> bool:
+    """Non-alphabetic-initial tokens are treated as silence/boundary
+    (reference: data_gen/tts/data_gen_utils.py:353; includes '|', '<BOS>')."""
+    return not p or not p[0].isalpha()
+
+
+class TTSPreAlign(VocoderPreAlign):
+    """TTS-side pre-align: G2P + MFA dictionary / phone-set generation.
+
+    Covers the reference ``BasePreAlign`` behaviors the vocoder stage skips
+    (reference: data_gen/tts/base_pre_align.py:58-141):
+
+    - runs the configured ``txt_processor`` over each utterance's text,
+    - phone post-processing: strip edge silences, add <BOS>/<EOS>, collapse
+      silence runs,
+    - emits per-utterance ``.lab`` files (word-level alignment text) next to
+      the grouped ``mfa_inputs`` wavs for a Montreal-Forced-Aligner run,
+    - writes ``dict.txt`` (phone->phone), ``phone_set.json`` and
+      ``mfa_dict.txt`` (word -> phone pronunciations) to the processed dir,
+    - metadata_phone.csv gains ``txt, txt_raw, ph, spk`` columns, which the
+      TTS binarizer consumes (data/tts_binarizer.py).
+
+    ``meta_data()`` yields (item_name, wav_fn, txt, spk); the generic
+    fallback reads sidecar ``<wav>.txt`` / ``<wav>.lab`` transcripts.
+    """
+
+    def __init__(self, hparams: dict):
+        super().__init__(hparams)
+        from fastdiff_tpu.text.processors import get_txt_processor_cls
+        self.txt_processor = get_txt_processor_cls(
+            self.pre_align_args.get("txt_processor", "en"))
+
+    def meta_data(self):
+        for item_name, wav_fn in super().meta_data():
+            txt = None
+            base = os.path.splitext(wav_fn)[0]
+            for ext in (".normalized.txt", ".txt", ".lab"):
+                if os.path.exists(base + ext):
+                    with open(base + ext) as f:
+                        txt = f.read().strip()
+                    break
+            yield item_name, wav_fn, txt, "SPK0"
+
+    @staticmethod
+    def sp_phonemes():
+        return ["|"]
+
+    @classmethod
+    def process_text(cls, txt_processor, txt_raw: str, pre_align_args: dict):
+        """G2P + phone post-processing; returns (ph, word_prons, ph_for_align,
+        txt) — the reference's process_text contract."""
+        phs, txt = txt_processor.process(txt_raw, pre_align_args)
+        phs = [p.strip() for p in phs if p.strip()]
+        while phs and is_sil_phoneme(phs[0]):
+            phs = phs[1:]
+        while phs and is_sil_phoneme(phs[-1]):
+            phs = phs[:-1]
+        phs = ["<BOS>"] + phs + ["<EOS>"]
+        collapsed = []
+        for p in phs:    # collapse silence runs, keeping the stronger token
+            if not collapsed or not is_sil_phoneme(p) \
+                    or not is_sil_phoneme(collapsed[-1]):
+                collapsed.append(p)
+            elif collapsed[-1] == "|" and p != "|":
+                collapsed[-1] = p
+        # word-level views for the MFA dictionary and .lab alignment text
+        cur_word, ph_for_align, word_prons = [], [], set()
+        for p in collapsed:
+            if is_sil_phoneme(p):
+                if cur_word:
+                    ph_for_align.append("_".join(cur_word))
+                    word_prons.add(" ".join(cur_word))
+                    cur_word = []
+                if p not in cls.sp_phonemes():
+                    ph_for_align.append("SIL")
+            else:
+                cur_word.append(p)
+        if cur_word:
+            ph_for_align.append("_".join(cur_word))
+            word_prons.add(" ".join(cur_word))
+        return (" ".join(collapsed), word_prons, " ".join(ph_for_align), txt)
+
+    def process(self) -> None:
+        import json
+        processed_dir = self.processed_dir
+        shutil.rmtree(os.path.join(processed_dir, "mfa_inputs"),
+                      ignore_errors=True)
+        os.makedirs(os.path.join(processed_dir, "wav_inputs"), exist_ok=True)
+        sample_rate = int(self.hparams.get("audio_sample_rate", 22050))
+        allow_no_txt = bool(self.pre_align_args.get("allow_no_txt", True))
+
+        phone_set, word_dict, rows = set(), set(), []
+        for idx, (item_name, wav_fn, txt_raw, spk) in enumerate(self.meta_data()):
+            if txt_raw is None:
+                if not allow_no_txt:
+                    raise FileNotFoundError(f"no transcript for {wav_fn}")
+                txt_raw = "NO_TEXT"
+            ph, word_prons, ph_align, txt = self.process_text(
+                self.txt_processor, txt_raw, self.pre_align_args)
+            new_wav = self.process_job(idx, item_name, wav_fn, processed_dir,
+                                       self.pre_align_args, sample_rate)
+            if new_wav is None:
+                print(f"| Skip {wav_fn}.")
+                continue
+            # alignment text beside the grouped wav, for the MFA run
+            with open(os.path.splitext(new_wav)[0] + ".lab", "w") as f:
+                f.write(ph_align)
+            rows.append({"item_name": item_name, "wav_fn": new_wav,
+                         "txt": txt, "txt_raw": txt_raw, "ph": ph,
+                         "spk": spk})
+            phone_set.update(ph.split())
+            word_prons.add("SIL")
+            for pron in word_prons:
+                word_dict.add(f"{pron.replace(' ', '_')} {pron}")
+
+        os.makedirs(processed_dir, exist_ok=True)
+        with open(os.path.join(processed_dir, "metadata_phone.csv"), "w",
+                  newline="") as f:
+            writer = csv.DictWriter(f, fieldnames=[
+                "item_name", "wav_fn", "txt", "txt_raw", "ph", "spk"])
+            writer.writeheader()
+            writer.writerows(rows)
+        with open(os.path.join(processed_dir, "dict.txt"), "w") as f:
+            for ph in sorted(phone_set):
+                f.write(f"{ph} {ph}\n")
+        json.dump(sorted(phone_set),
+                  open(os.path.join(processed_dir, "phone_set.json"), "w"))
+        with open(os.path.join(processed_dir, "mfa_dict.txt"), "w") as f:
+            for line in sorted(word_dict):
+                f.write(line + "\n")
+        print(f"| tts pre-align: {len(rows)} items, {len(phone_set)} phones "
+              f"-> {processed_dir}")
+
+
 class LJPreAlign(VocoderPreAlign):
     """LJSpeech: parse metadata.csv (egs/datasets/audio/lj/pre_align.py)."""
 
@@ -151,6 +285,19 @@ class LJPreAlign(VocoderPreAlign):
                 item_name = line.strip().split("|")[0]
                 yield item_name, os.path.join(self.raw_data_dir, "wavs",
                                               f"{item_name}.wav")
+
+
+class LJTTSPreAlign(TTSPreAlign):
+    """LJSpeech with transcripts: metadata.csv '|' columns (id, raw text,
+    normalized text) -> G2P pre-align."""
+
+    def meta_data(self):
+        with open(os.path.join(self.raw_data_dir, "metadata.csv")) as f:
+            for line in f:
+                parts = line.strip().split("|")
+                wav_fn = os.path.join(self.raw_data_dir, "wavs",
+                                      f"{parts[0]}.wav")
+                yield parts[0], wav_fn, parts[-1], "SPK0"
 
 
 class VCTKPreAlign(VocoderPreAlign):

@@ -94,29 +94,36 @@ class GraphemeProcessor(BaseTxtProcessor):
 
 
 @register_processor("zh")
+@register_processor("zh_g2pM")
 class ZhProcessor(BaseTxtProcessor):
-    """Chinese: jieba segmentation + pypinyin G2P (reference:
-    data_gen/tts/txt_processors/zh.py role). Requires pypinyin; raises a
-    clear error when unavailable rather than degrading silently."""
+    """Chinese: deep NSW normalization (text/zh_norm.py) + pinyin G2P with
+    polyphone word contexts and tone sandhi (text/zh_g2p.py) — the role of
+    the reference's zh/zh_g2pM processors (data_gen/tts/txt_processors/
+    {zh,zh_g2pM}.py) without their external model dependencies. g2pM or
+    pypinyin are still preferred automatically when importable."""
 
     @classmethod
     def process(cls, text, pre_align_args=None):
-        try:
-            from pypinyin import Style, lazy_pinyin
-        except ImportError as exc:
-            raise ImportError(
-                "the 'zh' text processor needs pypinyin (not installed in "
-                "this image); use txt_processor=grapheme instead") from exc
-        try:
-            import jieba
-            words = [w for w in jieba.cut(text) if w.strip()]
-        except ImportError:
-            words = list(text.replace(" ", ""))
+        from fastdiff_tpu.text.zh_g2p import (apply_sandhi, is_hanzi, zh_g2p,
+                                              zh_segment)
+        from fastdiff_tpu.text.zh_norm import normalize_zh
+        text = normalize_zh(text)
         phones: List[str] = []
-        for word in words:
-            if phones:
+        chars: List[str] = []     # hanzi per non-separator phone, for sandhi
+        # word separators at segment boundaries (lexicon words / jieba) and
+        # at non-hanzi characters (punctuation)
+        for seg in zh_segment(text):
+            if phones and phones[-1] != "|":
                 phones.append("|")
-            phones.extend(lazy_pinyin(word, style=Style.TONE3))
+            if is_hanzi(seg[0]):
+                phones.extend(zh_g2p(seg))
+                chars.extend(ch for ch in seg if is_hanzi(ch))
+        # tone sandhi across word boundaries (一/不 context is the next
+        # syllable regardless of segmentation)
+        idx = [i for i, p in enumerate(phones) if p != "|"]
+        fixed = apply_sandhi([phones[i] for i in idx], chars)
+        for i, s in zip(idx, fixed):
+            phones[i] = s
         return _clean_separators(phones), text
 
 

@@ -126,9 +126,18 @@ class TTSBinarizer(VocoderBinarizer):
             f0, coarse = get_pitch(wav, n_frames, cfg)
             item["f0"] = f0
             item["pitch"] = coarse
+            if args.get("with_f0cwt"):
+                # multi-resolution prosody decomposition (ops/cwt.py; the
+                # reference's with_f0cwt flag, base_binarizer.py)
+                from fastdiff_tpu.ops.cwt import f0_to_cwt
+                spec, mean, std = f0_to_cwt(f0)
+                item["cwt_spec"] = spec
+                item["cwt_mean"] = mean
+                item["cwt_std"] = std
         if args.get("with_spk_embed"):
-            raise NotImplementedError(
-                "speaker embeddings require a voice-encoder model "
-                "(resemblyzer in the reference); none is available in this "
-                "environment — binarize with with_spk_embed=false")
+            # native d-vector extractor (models/spk_encoder.py) replaces the
+            # reference's resemblyzer dependency (base_binarizer.py:156-168)
+            from fastdiff_tpu.models.spk_encoder import get_speaker_encoder
+            encoder = get_speaker_encoder(str(hp.get("spk_embed_ckpt", "")))
+            item["spk_embed"] = encoder.embed(item["mel"])
         return item

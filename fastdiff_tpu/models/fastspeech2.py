@@ -48,6 +48,8 @@ class FS2Config:
     use_pitch: bool = True
     pitch_bins: int = 300
     num_spk: int = 1
+    use_spk_embed: bool = False     # external 256-d d-vector conditioning
+    spk_embed_dim: int = 256
 
     @classmethod
     def from_hparams(cls, hp: dict) -> "FS2Config":
@@ -63,6 +65,7 @@ class FS2Config:
             max_len=int(hp.get("max_frames", 3000)),
             use_pitch=bool(hp.get("use_pitch_embed", True)),
             num_spk=int(hp.get("num_spk", 1)),
+            use_spk_embed=bool(hp.get("use_spk_embed", False)),
         )
 
 
@@ -107,6 +110,11 @@ def init_fastspeech2(key, cfg: FS2Config) -> dict:
     if cfg.num_spk > 1:
         params["spk_embed"] = jax.random.normal(
             jax.random.fold_in(keys[-1], 1), (cfg.num_spk, cfg.hidden)) * 0.02
+    if cfg.use_spk_embed:
+        # external d-vector conditioning (reference spk_embed path,
+        # base_binarizer.py:156-168 + fs2 spk_embed_proj role)
+        params["spk_embed_proj"] = fnn.dense_init(
+            jax.random.fold_in(keys[-1], 2), cfg.spk_embed_dim, cfg.hidden)
     return params
 
 
@@ -142,6 +150,7 @@ def fastspeech2_apply(params: dict, tokens: jnp.ndarray, cfg: FS2Config,
                       mel2ph: Optional[jnp.ndarray] = None,
                       pitch: Optional[jnp.ndarray] = None,
                       spk_id: Optional[jnp.ndarray] = None,
+                      spk_embed: Optional[jnp.ndarray] = None,
                       t_mel: Optional[int] = None) -> dict:
     """tokens (B, T_ph) int (0 = pad).
 
@@ -157,6 +166,8 @@ def fastspeech2_apply(params: dict, tokens: jnp.ndarray, cfg: FS2Config,
     x = x + pos[None, : tokens.shape[1]]
     if spk_id is not None and "spk_embed" in params:
         x = x + params["spk_embed"][spk_id][:, None, :]
+    if spk_embed is not None and "spk_embed_proj" in params:
+        x = x + fnn.dense(params["spk_embed_proj"], spk_embed)[:, None, :]
     x = tr.transformer_stack(params["encoder"], x, src_mask, cfg.num_heads)
     x = tr.layer_norm(params["enc_ln"], x) * src_mask[..., None]
 

@@ -60,8 +60,12 @@ def collate_tts(items, token_pad: int, frame_pad: int, n_mels: int) -> Dict:
         if "pitch" in item:
             pitch[b, :t_mel] = np.asarray(item["pitch"], np.int32)
         dur[b] = np.bincount(mel2ph[b], minlength=token_pad + 1)[1: token_pad + 1]
-    return {"tokens": tokens, "mels": mels, "mel2ph": mel2ph,
-            "pitch": pitch, "dur": dur}
+    out = {"tokens": tokens, "mels": mels, "mel2ph": mel2ph,
+           "pitch": pitch, "dur": dur}
+    if all("spk_embed" in item for item in items):
+        out["spk_embed"] = np.stack(
+            [np.asarray(item["spk_embed"], np.float32) for item in items])
+    return out
 
 
 class FastSpeech2Task:
@@ -101,7 +105,8 @@ class FastSpeech2Task:
     def _loss(self, params, batch):
         out = fastspeech2_apply(
             params, batch["tokens"], self.model_cfg,
-            mel2ph=batch["mel2ph"], pitch=batch["pitch"])
+            mel2ph=batch["mel2ph"], pitch=batch["pitch"],
+            spk_embed=batch.get("spk_embed"))
         src_mask = (batch["tokens"] > 0).astype(jnp.float32)
         losses = fastspeech2_loss(out, batch["mels"], batch["dur"], src_mask,
                                   pitch_gt=batch["pitch"])

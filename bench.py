@@ -52,27 +52,33 @@ def _wait_for_healthy_chip(max_wait_s: float = 600.0) -> float:
 
 def main():
     import jax
+
+    # persistent compilation cache: Mosaic/XLA compiles amortize across runs
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     import jax.numpy as jnp
 
     _wait_for_healthy_chip()
 
+    import dataclasses
+
     from fastdiff_tpu.config import DiffusionConfig, ModelConfig
     from fastdiff_tpu.diffusion import schedules
-    from fastdiff_tpu.diffusion.sampler import make_sampler
-    from fastdiff_tpu.models.fastdiff import (fastdiff_apply, fuse_weight_norm,
+    from fastdiff_tpu.diffusion.sampler import make_param_sampler
+    from fastdiff_tpu.models.fastdiff import (fuse_weight_norm, get_apply_fn,
                                               init_fastdiff)
 
-    cfg = ModelConfig()
-    params = fuse_weight_norm(init_fastdiff(jax.random.PRNGKey(0), cfg))
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    cfg = ModelConfig(use_pallas_block=on_tpu)   # megakernel on TPU
+    params = fuse_weight_norm(
+        init_fastdiff(jax.random.PRNGKey(0),
+                      dataclasses.replace(cfg, use_pallas_block=False)))
     hp = schedules.compute_hyperparams_given_schedule(
         schedules.linear_beta_schedule(DiffusionConfig()))
     const = schedules.sampler_constants_for_schedule(
         schedules.noise_schedule_for_steps(4), hp)
-
-    def denoise(x, mel, t):
-        return fastdiff_apply(params, x, mel, t, cfg)
-
-    sampler = make_sampler(denoise, const)
+    sampler = make_param_sampler(get_apply_fn(cfg), const)
 
     sample_rate, hop = 22050, cfg.total_hop
     frames = 864                       # ~10.03 s of audio
@@ -81,19 +87,27 @@ def main():
         np.random.default_rng(0).standard_normal((1, frames, 80)), jnp.float32)
 
     # compile + warmup
-    sampler(jax.random.PRNGKey(1), mel, audio_len).block_until_ready()
+    sampler(params, jax.random.PRNGKey(1), mel, audio_len).block_until_ready()
 
     def timed_loop(n):
         t0 = time.perf_counter()
         out = None
         for i in range(n):
-            out = sampler(jax.random.PRNGKey(2 + i), mel, audio_len)
+            out = sampler(params, jax.random.PRNGKey(2 + i), mel, audio_len)
         out.block_until_ready()
         return (time.perf_counter() - t0) / n
 
     dt = min(timed_loop(8), timed_loop(8))
     audio_seconds = audio_len / sample_rate
     x_realtime = audio_seconds / dt
+
+    # MFU: 2.369e5 FLOP/sample per denoiser call (XLA cost_analysis of the
+    # default config; linear in length) x N=4 calls, vs v5e bf16 peak
+    # 197 TFLOP/s. Reported on stderr; the JSON contract line stays 4-key.
+    flops = 2.369e5 * audio_len * 4
+    mfu = flops / dt / 197e12
+    print(f"| sampler {dt*1e3:.2f} ms/10s-utt, model FLOPs {flops/1e9:.1f} G "
+          f"-> MFU {mfu*100:.2f}% of v5e bf16 peak", file=sys.stderr)
 
     print(json.dumps({
         "metric": "realtime_factor_n4",

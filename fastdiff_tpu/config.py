@@ -69,10 +69,36 @@ class ModelConfig:
             diffusion_step_embed_dim_out=int(hp.get("diffusion_step_embed_dim_out", 512)),
             use_weight_norm=bool(hp.get("use_weight_norm", True)),
             use_pallas_lvc=bool(hp.get("use_pallas_lvc", False)),
-            use_pallas_block=bool(hp.get("use_pallas_block", False)),
+            # 'auto' resolves at the *inference* entry points (see
+            # resolve_pallas_block); training keeps the XLA path
+            use_pallas_block=(hp.get("use_pallas_block", False) is True),
             compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
             conv_impl=str(hp.get("conv_impl", "dot")),
         )
+
+
+def resolve_pallas_block(hp: dict) -> bool:
+    """Inference-time policy for the whole-block Pallas megakernel.
+
+    ``use_pallas_block: auto`` (the config default) means ON for compiled
+    TPU inference and OFF elsewhere (CPU/GPU run the XLA path; the Pallas
+    interpret fallback is for tests only). Explicit true/false wins.
+    Training always uses the XLA path regardless (the fused kernel's VJP
+    recomputes through XLA anyway).
+    """
+    raw = hp.get("use_pallas_block", "auto")
+    if isinstance(raw, str):
+        if raw.strip().lower() in ("auto", ""):
+            import jax
+            return jax.default_backend() not in ("cpu", "gpu")
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    return bool(raw)
+
+
+def inference_model_config(cfg: "ModelConfig", hp: dict) -> "ModelConfig":
+    """ModelConfig for inference entry points: megakernel per policy."""
+    return dataclasses.replace(cfg,
+                               use_pallas_block=resolve_pallas_block(hp))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -116,13 +116,20 @@ class FastDiffTask:
         """Identity-stable ``apply(params, x, mel, t)`` — the static jit key
         for the param-traced sampler. Cached per frozen model config, so
         every state (checkpoints, EMA snapshots) and every task/vocoder
-        instance with the same config shares one compiled sampler."""
+        instance with the same config shares one compiled sampler.
+
+        Inference-only path: the whole-block Pallas megakernel is enabled
+        per the ``use_pallas_block: auto`` policy (config.py); training
+        (denoise_fn) always stays on the XLA path."""
         if self._param_apply_fn is None:
             if self.denoiser_type == "wavenet":
                 from fastdiff_tpu.models.wavenet import get_apply_fn
+                cfg = self.model_cfg
             else:
+                from fastdiff_tpu.config import inference_model_config
                 from fastdiff_tpu.models.fastdiff import get_apply_fn
-            self._param_apply_fn = get_apply_fn(self.model_cfg)
+                cfg = inference_model_config(self.model_cfg, self.hparams)
+            self._param_apply_fn = get_apply_fn(cfg)
         return self._param_apply_fn
 
     # -- train/val ---------------------------------------------------------

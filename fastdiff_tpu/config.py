@@ -80,17 +80,19 @@ class ModelConfig:
 def resolve_pallas_block(hp: dict) -> bool:
     """Inference-time policy for the whole-block Pallas megakernel.
 
-    ``use_pallas_block: auto`` (the config default) means ON for compiled
-    TPU inference and OFF elsewhere (CPU/GPU run the XLA path; the Pallas
-    interpret fallback is for tests only). Explicit true/false wins.
-    Training always uses the XLA path regardless (the fused kernel's VJP
-    recomputes through XLA anyway).
+    ``use_pallas_block: auto`` (the config default) currently means OFF
+    everywhere: forced-completion timing (bench.py methodology; the relay's
+    block_until_ready can ACK before execution finishes, so earlier "1.9x"
+    readings were artifacts) measures the fused kernel ~1.8x SLOWER than the
+    shifted-matmul XLA path at the default config (42 vs 23.5 ms per 10 s
+    utterance at N=4). Explicit true/false wins, so the kernel stays one
+    flag away while it is being optimized. Training always uses the XLA
+    path regardless (the fused kernel's VJP recomputes through XLA anyway).
     """
     raw = hp.get("use_pallas_block", "auto")
     if isinstance(raw, str):
         if raw.strip().lower() in ("auto", ""):
-            import jax
-            return jax.default_backend() not in ("cpu", "gpu")
+            return False
         return raw.strip().lower() in ("1", "true", "yes", "on")
     return bool(raw)
 

@@ -71,6 +71,33 @@ class EnProcessor(BaseTxtProcessor):
         return phones, text
 
 
+@register_processor("en_syl")
+class EnSylProcessor(BaseTxtProcessor):
+    """English syllable-letter tokens: each word is split into syllables by
+    the native sonority-sequencing syllabifier (text/syllabify.py) and each
+    syllable contributes its letters, with ``|`` separating words — the role
+    of the reference's SonoriPy-based processor
+    (data_gen/tts/txt_processors/en_syl.py), dependency-free."""
+
+    @classmethod
+    def process(cls, text, pre_align_args=None):
+        from fastdiff_tpu.text.syllabify import syllabify
+        text = normalize_text(text)
+        phones: List[str] = []
+        for word in re.split(r"\s+", text.strip()):
+            if not word:
+                continue
+            if phones:
+                phones.append("|")
+            syls = syllabify(word)
+            if not syls:
+                phones.extend(word)         # no nucleus: character tokens
+            else:
+                for syl in syls:
+                    phones.extend(syl)
+        return _clean_separators(phones), text
+
+
 @register_processor("grapheme")
 class GraphemeProcessor(BaseTxtProcessor):
     """Letter-level tokens — a dependency-free processor usable anywhere."""

@@ -3,10 +3,17 @@ cuda-synchronized Timer; utils/__init__.py:243-264).
 
 - ``trace(dir)``: context manager around ``jax.profiler`` producing an xplane
   trace viewable in TensorBoard's profile plugin or xprof.
-- ``RTFMeter``: accumulates generation-time / audio-time over utterances with
-  ``block_until_ready`` fencing — the working version of the reference's
-  dead ``compute_rtf`` helper (modules/FastDiff/task/FastDiff.py:127-132).
-- ``device_timer``: wall-clock a jitted callable with proper device fencing.
+- ``force``: TRUSTWORTHY completion fence. In this development environment
+  the TPU sits behind a network relay whose ``block_until_ready`` can ACK
+  before device execution finishes (observed: pipelined timings implying
+  >peak FLOP/s). The only sound fence is fetching real bytes that
+  data-depend on the computation: ``force`` reduces the output to a scalar
+  ON DEVICE and fetches 4 bytes. Device execution is in-order, so forcing
+  the last value of a pipelined loop fences every call before it.
+- ``RTFMeter``: accumulates generation-time / audio-time over utterances —
+  the working version of the reference's dead ``compute_rtf`` helper
+  (modules/FastDiff/task/FastDiff.py:127-132). Use with ``force``.
+- ``device_timer``: wall-clock a jitted callable with forced completion.
 """
 
 from __future__ import annotations
@@ -16,6 +23,23 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
+
+_reduce = None
+
+
+def force(value) -> float:
+    """Force real device completion of ``value`` (and, by in-order stream
+    semantics, everything dispatched before it). Returns the fetched scalar
+    so callers can also use it as a cheap finiteness probe."""
+    global _reduce
+    if _reduce is None:
+        _reduce = jax.jit(lambda v: jnp.sum(jnp.asarray(v, jnp.float32)))
+    leaves = [x for x in jax.tree_util.tree_leaves(value)
+              if hasattr(x, "dtype")]
+    if not leaves:
+        return 0.0
+    return float(_reduce(leaves[-1].ravel()[-1:]))
 
 
 @contextlib.contextmanager
@@ -55,14 +79,24 @@ class RTFMeter:
                 f"{self.count} utterances, {self.audio_seconds:.1f}s audio)")
 
 
-def device_timer(fn: Callable, *args, iters: int = 10, warmup: int = 1):
-    """Median wall-clock of ``fn(*args)`` in ms with device fencing."""
+def device_timer(fn: Callable, *args, iters: int = 10, warmup: int = 1,
+                 pipeline: int = 1):
+    """Median wall-clock of ``fn(*args)`` in ms with forced completion.
+
+    ``pipeline`` > 1 dispatches that many calls per timed sample and forces
+    only the last one, amortizing the relay's fetch round-trip (~10-25 ms
+    here) across the batch; device in-order execution makes the average
+    exact up to one RTT / pipeline.
+    """
     import numpy as np
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        force(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
-        times.append(time.perf_counter() - t0)
+        out = None
+        for _i in range(pipeline):
+            out = fn(*args)
+        force(out)
+        times.append((time.perf_counter() - t0) / pipeline)
     return float(np.median(times) * 1000.0)

@@ -41,7 +41,7 @@ class FastDiff(BaseVocoder):
 
         # params traced / apply_fn cached per config: reloading a checkpoint
         # or constructing a second vocoder reuses the compiled sampler.
-        # Megakernel per the use_pallas_block:auto policy (TPU inference on).
+        # Megakernel per the use_pallas_block policy (config.py docstring).
         from fastdiff_tpu.config import inference_model_config
         infer_cfg = inference_model_config(self.model_cfg, hp)
         psample = make_param_sampler(get_apply_fn(infer_cfg), constants)

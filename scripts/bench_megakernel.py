@@ -27,16 +27,20 @@ N_ITER = 20
 
 
 def health_gate():
+    # forced-completion probe (profiling.force): block_until_ready through
+    # the relay can ACK early, so fetch real bytes
+    from fastdiff_tpu.utils.profiling import force
     probe = jax.jit(lambda v: v + 1)
     x = jnp.ones((8, 128), jnp.float32)
-    probe(x).block_until_ready()
+    force(probe(x))
     ts = []
     for _ in range(10):
         t0 = time.perf_counter()
-        probe(x).block_until_ready()
+        force(probe(x))
         ts.append(time.perf_counter() - t0)
     lat = float(np.median(ts)) * 1e3
-    print(f"tiny-op latency: {lat:.3f} ms ({'healthy' if lat < 0.5 else 'DEGRADED'})")
+    print(f"tiny-op forced latency: {lat:.3f} ms "
+          f"({'healthy' if lat < 30 else 'DEGRADED'})")
     return lat
 
 
@@ -50,16 +54,16 @@ def bench(cfg, params, label):
     mel = jnp.asarray(np.random.default_rng(0).normal(size=(1, frames, 80)),
                       jnp.float32)
     L = frames * 256
+    from fastdiff_tpu.utils.profiling import force
     t0 = time.time()
     key = jax.random.PRNGKey(0)
     w = sample(params, key, mel, L)
-    w.block_until_ready()
-    print(f"{label}: compile+first {time.time()-t0:.1f}s")
     assert np.all(np.isfinite(np.asarray(w)))
+    print(f"{label}: compile+first {time.time()-t0:.1f}s")
     t0 = time.perf_counter()
     for i in range(N_ITER):
         w = sample(params, jax.random.fold_in(key, i), mel, L)
-    w.block_until_ready()
+    force(w)
     dt = (time.perf_counter() - t0) / N_ITER
     audio_s = L / 22050.0
     print(f"{label}: {dt*1e3:.2f} ms/utt -> {audio_s/dt:.0f}x realtime")

@@ -68,11 +68,12 @@ def main():
     # 4. sample
     sampler = make_sampler(
         lambda x, m, t: fastdiff_apply(params, x, m, t, model_cfg), constants)
+    from fastdiff_tpu.utils.profiling import force
     out = sampler(jax.random.PRNGKey(42), mel_dev, mel.shape[1] * audio_cfg.hop_size)
-    jax.block_until_ready(out)
+    force(out)
     t0 = time.perf_counter()
     out = sampler(jax.random.PRNGKey(43), mel_dev, mel.shape[1] * audio_cfg.hop_size)
-    jax.block_until_ready(out)
+    force(out)
     dt = time.perf_counter() - t0
     pred = np.asarray(out)[0, :, 0]
     rtf = metrics.compute_rtf(dt, len(pred), audio_cfg.sample_rate)

@@ -17,12 +17,15 @@ import jax.numpy as jnp
 
 
 def t(f, *args, n=20):
-    o = f(*args)
-    jax.block_until_ready(o)
+    # forced-completion timing (profiling.force): the relay's
+    # block_until_ready can ACK before execution completes
+    from fastdiff_tpu.utils.profiling import force
+    force(f(*args))
     t0 = time.perf_counter()
+    o = None
     for _ in range(n):
         o = f(*args)
-    jax.block_until_ready(o)
+    force(o)
     return (time.perf_counter() - t0) / n * 1000
 
 

@@ -21,12 +21,15 @@ from fastdiff_tpu.ops import nn as fnn
 
 
 def timeit(fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    # forced-completion pipelined timing (profiling.force): the relay's
+    # block_until_ready can ACK before execution completes
+    from fastdiff_tpu.utils.profiling import force
+    force(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    force(out)
     return (time.perf_counter() - t0) / n * 1000  # ms
 
 

@@ -203,6 +203,17 @@ def fuse_weight_norm(params):
 # Apply
 # ---------------------------------------------------------------------------
 
+def _kp_trunk(p: dict, cond: jnp.ndarray, cfg: ModelConfig, dtype):
+    """Shared kernel-predictor trunk: input conv + residual stack."""
+    c = fnn.conv1d(p["input_conv"], cond, compute_dtype=dtype, impl=cfg.conv_impl)
+    c = fnn.leaky_relu(c, 0.1)
+    r = c
+    for conv in p["residual_convs"]:
+        r = fnn.conv1d(conv, r, compute_dtype=dtype, impl=cfg.conv_impl)
+        r = fnn.leaky_relu(r, 0.1)
+    return c + r
+
+
 def _kernel_predictor_apply(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
                             dtype) -> tuple:
     """cond (B, T', cond_ch) -> kernels (B, layers, T', K, Cin, 2Cin),
@@ -216,13 +227,7 @@ def _kernel_predictor_apply(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     layers = cfg.lvc_layers_each_block
     k = cfg.lvc_kernel_size
 
-    c = fnn.conv1d(p["input_conv"], cond, compute_dtype=dtype, impl=cfg.conv_impl)
-    c = fnn.leaky_relu(c, 0.1)
-    r = c
-    for conv in p["residual_convs"]:
-        r = fnn.conv1d(conv, r, compute_dtype=dtype, impl=cfg.conv_impl)
-        r = fnn.leaky_relu(r, 0.1)
-    c = c + r
+    c = _kp_trunk(p, cond, cfg, dtype)
     kw = fnn.conv1d(p["kernel_conv"], c, compute_dtype=dtype, impl=cfg.conv_impl)
     kb = fnn.conv1d(p["bias_conv"], c, compute_dtype=dtype, impl=cfg.conv_impl)
 
@@ -235,6 +240,55 @@ def _kernel_predictor_apply(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     kernels = kw.reshape(b, frames, layers, k, cin, cout)
     biases = kb.reshape(b, frames, layers, cout)
     return kernels, biases
+
+
+def _kernel_predictor_apply_aug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
+                                dtype) -> jnp.ndarray:
+    """cond (B, T', cond_ch) -> augmented LVC operand
+    (B, T', layers, K*Cin+1, 2Cin) for the whole-block Pallas megakernel.
+
+    The kernel_conv and bias_conv heads are merged at trace time into one
+    conv whose output channels are ordered (layers, K*Cin rows + bias row,
+    2Cin) — the reshape to the megakernel operand is then layout-free, so
+    the model's largest activation tensor is produced DIRECTLY in the
+    layout the kernel consumes (no augmentation or relayout copies in HBM;
+    those cost more than the kernel itself — docs/PERF.md)."""
+    cin = cfg.inner_channels
+    cout = 2 * cfg.inner_channels
+    layers = cfg.lvc_layers_each_block
+    k = cfg.lvc_kernel_size
+    rows = k * cin + 1
+
+    kw = fnn.conv_weight(p["kernel_conv"])       # (ksz, hid, layers*K*Cin*2Cin)
+    bw = fnn.conv_weight(p["bias_conv"])         # (ksz, hid, layers*2Cin)
+    ksz, hid, _ = kw.shape
+    aug_w = jnp.concatenate(
+        [kw.reshape(ksz, hid, layers, k * cin, cout),
+         bw.reshape(ksz, hid, layers, 1, cout)], axis=3
+    ).reshape(ksz, hid, layers * rows * cout)
+    aug_b = jnp.concatenate(
+        [p["kernel_conv"]["b"].reshape(layers, k * cin, cout),
+         p["bias_conv"]["b"].reshape(layers, 1, cout)], axis=1).reshape(-1)
+
+    c = _kp_trunk(p, cond, cfg, dtype)
+    b, frames, _ = c.shape
+    backend = jax.default_backend()
+    if backend == "gpu":
+        ka = fnn.conv1d({"w": aug_w, "b": aug_b}, c, compute_dtype=dtype,
+                        impl=cfg.conv_impl)
+    else:
+        # the head as an explicit row-major pallas matmul: XLA's dot picks an
+        # M-minor layout here and relayouts the model's largest activation
+        # (see aug_head_matmul); taps built as shifted views of the trunk
+        from fastdiff_tpu.ops.lvc_block_pallas import aug_head_matmul
+        pad = (ksz - 1) // 2
+        cp = jnp.pad(c.astype(dtype), ((0, 0), (pad, pad), (0, 0)))
+        taps = [jax.lax.slice_in_dim(cp, t, t + frames, axis=1)
+                for t in range(ksz)]
+        tap_c = jnp.concatenate(taps, axis=-1).reshape(b * frames, ksz * hid)
+        ka = aug_head_matmul(tap_c, aug_w.reshape(ksz * hid, -1).astype(dtype),
+                             aug_b, interpret=(backend == "cpu"))
+    return ka.reshape(b, frames, layers, rows, cout)
 
 
 def _dblock_apply(p: dict, x: jnp.ndarray, factor: int, dtype, impl="lax") -> jnp.ndarray:
@@ -259,7 +313,21 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     """
     noise = fnn.dense(p["fc_t"], t_emb, compute_dtype=dtype)     # (B, cond_ch)
     cond = mel + noise[:, None, :].astype(mel.dtype)
-    kernels, biases = _kernel_predictor_apply(p["kernel_predictor"], cond, cfg, dtype)
+
+    use_fused = False
+    if cfg.use_pallas_block:
+        from fastdiff_tpu.ops.lvc_block_pallas import (fusable,
+                                                       lvc_block_fused_aug,
+                                                       stack_conv_weights)
+        use_fused = fusable(hop, mel.shape[1])
+    if use_fused:
+        # zero-prep megakernel path: the predictor emits the augmented
+        # operand directly (no kernels/biases intermediates)
+        kern_aug = _kernel_predictor_apply_aug(
+            p["kernel_predictor"], cond, cfg, dtype)
+    else:
+        kernels, biases = _kernel_predictor_apply(
+            p["kernel_predictor"], cond, cfg, dtype)
 
     x = fnn.leaky_relu(x, 0.2)
     upsample_fn = (fnn.conv_transpose1d_dot if cfg.conv_impl == "dot"
@@ -269,16 +337,13 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
         torch_padding=ratio // 2 + ratio % 2, output_padding=ratio % 2,
         compute_dtype=dtype)
 
-    if cfg.use_pallas_block:
-        from fastdiff_tpu.ops.lvc_block_pallas import fusable, lvc_block_fused
-        if fusable(hop, kernels.shape[1]):
-            conv_ws = jnp.stack([fnn.conv_weight(cv) for cv in p["convs"]])
-            conv_bs = jnp.stack([cv["b"] for cv in p["convs"]])
-            # interpret mode keeps the integration path testable on CPU
-            return lvc_block_fused(
-                x, skip, kernels.astype(dtype), biases.astype(jnp.float32),
-                conv_ws.astype(dtype), conv_bs.astype(jnp.float32), hop,
-                jax.default_backend() == "cpu")
+    if use_fused:
+        wstack = stack_conv_weights(
+            [fnn.conv_weight(cv) for cv in p["convs"]],
+            [cv["b"] for cv in p["convs"]], dtype=dtype)
+        # interpret mode keeps the integration path testable on CPU
+        return lvc_block_fused_aug(x, skip, kern_aug, wstack, hop,
+                                   jax.default_backend() == "cpu")
 
     if _use_pallas(cfg):
         from fastdiff_tpu.ops.lvc_pallas import lvc_gated_pallas as lvc_fn

@@ -17,26 +17,40 @@ x/skip/predicted-kernels once and writes x once.
 Mapping:
 - grid = (B, L / (TF*hop)); each program owns a tile of TF LVC frames.
 - Halos: the 4-layer receptive field is 44 samples/side (dilated convs
-  sum(3^i) + LVC taps). Halo operands are frame-aligned XLA shifts of the
-  inputs (H = max(hop, 48) samples), concatenated in-kernel; layer math runs
-  on the extended tile and only the valid center is written back. In-kernel
-  shifts are ``pltpu.roll``: wrap-around contamination stays inside the
-  (discarded) margin because H >= 48 > 44.
+  sum(3^i) + LVC taps). Halo operands are read through SHIFTED BlockSpec
+  index maps over the ORIGINAL arrays (H = max(hop, 48) samples each side)
+  — nothing is padded, sliced, or re-tiled in HBM before the kernel. (The
+  first version materialized 6 halo operands + layout copies per call;
+  xplane traces showed that prep costing more than the kernel itself —
+  docs/PERF.md.) Edge tiles clamp the halo index into bounds; the garbage
+  rows this loads are exactly the out-of-sequence positions the validity
+  mask re-zeros.
 - Sequence-edge parity: the unfused path zero-pads EVERY conv/LVC input at
   the true sequence edges; a validity mask (global position in [0, L))
   re-zeros the carry and the conv output each layer so halo garbage can't
   leak in — bit-exact edge semantics, not just interior parity.
-- Both matmuls ride one augmented 128-lane contraction (round-1 trick,
-  lvc_pallas.py): tap matrices get a constant one-column at lane 3C and the
-  weight operands carry the bias in that row, so bias-add is free MXU work.
-    conv:  (E, 128) @ (128, C)                  E = (TF + 2) * hop samples
-    LVC:   (Fe, hop, 128) @ (Fe, 128, 2C)       Fe = E / hop frames
+- Both matmuls ride one augmented (3C+1)-row contraction: tap matrices get
+  a constant one-column at lane 3C and the weight operands carry the bias
+  in that row, so bias-add is free MXU work. (Round 1 padded the
+  contraction to 128 rows; the compact 3C+1 form carries 24% less kernel
+  memory and lets the predictor emit the operand directly.)
+    conv:  (E, 3C+1) @ (3C+1, C)                E = (TF + 2) * hop samples
+    LVC:   (Fe, hop, 3C+1) @ (Fe, 3C+1, 2C)     Fe = E / hop frames
 - hop < 64 (the first, T/32-rate block) falls back to the XLA path: those
   tiles would be mostly padding and carry ~3% of the sample work.
+- In-kernel shifts are ``pltpu.roll`` routed through f32 (Mosaic has no
+  bf16 rotate) and leaky_relu is max-form (no bf16 vector compare).
 
-Differentiation: ``lvc_block_fused`` carries a custom VJP whose backward
-recomputes through the *unfused* XLA path (identical math), so the flag can
-stay on under ``jax.grad``.
+Entry points:
+- ``lvc_block_fused(x, skip, kernels, biases, conv_ws, conv_bs, hop)``:
+  takes the predictor's natural (B,F,layers,K,C,2C) kernels and augments
+  them at trace time. Custom VJP recomputes through the unfused XLA path.
+- ``lvc_block_fused_aug(x, skip, kern_aug, wstack, hop)``: takes the
+  operand in augmented (B,F,layers,3C+1,2C) layout directly — the
+  inference fast path when the kernel predictor emits this layout
+  (models/fastdiff.py builds the augmented head from kernel_conv+bias_conv
+  at trace time). Also carries a VJP (reconstructs kernels from the
+  augmented rows, recomputes unfused).
 """
 
 from __future__ import annotations
@@ -50,9 +64,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from fastdiff_tpu.ops.lvc import lvc_gated_residual
 
-_LANES = 128
 _MIN_FUSED_HOP = 64
 _MIN_HALO = 48          # >= 44-sample receptive field, multiple of 8
+
+
+def aug_rows(c: int, k: int = 3) -> int:
+    """Contraction rows of the augmented operands: K*C taps + 1 bias row."""
+    return k * c + 1
 
 
 def _leaky(x, slope=0.2):
@@ -69,15 +87,14 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
     fe = ext_e // hop
     ti = pl.program_id(1)
 
-    carry = jnp.concatenate([lhx[0, 0], xc[0, 0], rhx[0, 0]], axis=0)
-    skip = jnp.concatenate([lhs[0, 0], skc[0, 0], rhs[0, 0]], axis=0)
-    kern = jnp.concatenate([lhk[0, 0], kc[0, 0], rhk[0, 0]], axis=0)
+    carry = jnp.concatenate([lhx[0], xc[0], rhx[0]], axis=0)
+    skip = jnp.concatenate([lhs[0], skc[0], rhs[0]], axis=0)
+    kern = jnp.concatenate([lhk[0], kc[0], rhk[0]], axis=0)
 
     gpos = (jax.lax.broadcasted_iota(jnp.int32, (ext_e, 1), 0)
             + ti * tile_s - halo)
     valid = jnp.logical_and(gpos >= 0, gpos < length)        # (E, 1)
-    aug = (jax.lax.broadcasted_iota(
-        jnp.int32, (ext_e, _LANES - 3 * c), 1) == 0).astype(carry.dtype)
+    ones = jnp.ones((ext_e, 1), carry.dtype)                 # bias column
 
     def _roll(arr, shift):
         # pltpu.roll wants a non-negative shift, and Mosaic's tpu.dynamic_
@@ -93,15 +110,15 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
         s = jnp.where(valid, s, jnp.zeros_like(s))
         y = _leaky(s)
         tap = jnp.concatenate(
-            [_roll(y, d), y, _roll(y, -d), aug], axis=1)
+            [_roll(y, d), y, _roll(y, -d), ones], axis=1)
         y = jax.lax.dot(tap, wstack[i],
                         preferred_element_type=jnp.float32)
         y = _leaky(y).astype(carry.dtype)
         y = jnp.where(valid, y, jnp.zeros_like(y))
 
         tap = jnp.concatenate(
-            [_roll(y, 1), y, _roll(y, -1), aug], axis=1)
-        win = tap.reshape(fe, hop, _LANES)
+            [_roll(y, 1), y, _roll(y, -1), ones], axis=1)
+        win = tap.reshape(fe, hop, aug_rows(c))
         z = jax.lax.dot_general(
             win, kern[:, i],
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -109,7 +126,7 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
         gate = jax.nn.sigmoid(z[..., :c]) * jnp.tanh(z[..., c:])
         carry = s + gate.reshape(ext_e, c).astype(s.dtype)
 
-    out_ref[0, 0] = carry[halo: halo + tile_s]
+    out_ref[0] = carry[halo: halo + tile_s]
 
 
 def _pick_tile_frames(n_frames: int, hop: int) -> int:
@@ -119,41 +136,33 @@ def _pick_tile_frames(n_frames: int, hop: int) -> int:
     return min(divisors, key=lambda tf: abs(tf - target))
 
 
-def _edge_halos(x: jnp.ndarray, n_tiles: int, tile: int, halo: int):
-    """(B, L, C) -> left/right halo tensors (B, nT, halo, C), zero-padded at
-    the sequence boundary (== conv zero-padding semantics at the edges)."""
-    b, length, c = x.shape
-    lh = jnp.pad(x, ((0, 0), (halo, 0), (0, 0)))[:, :length]
-    rh = jnp.pad(x, ((0, 0), (0, halo), (0, 0)))[:, halo:]
-    lh = lh.reshape(b, n_tiles, tile, c)[:, :, :halo]
-    rh = rh.reshape(b, n_tiles, tile, c)[:, :, tile - halo:]
-    return lh, rh
-
-
 def stack_conv_weights(conv_ws, conv_bs, dtype=jnp.bfloat16) -> jnp.ndarray:
-    """Dilated-conv weights+biases -> augmented (layers, 128, C) operand.
+    """Dilated-conv weights+biases -> augmented (layers, 3C+1, C) operand.
 
     Rows [0, 3C) are the (K=3, C, C) taps flattened tap-major (matching the
-    kernel's tap concat order), row 3C is the bias, the rest zero.
+    kernel's tap concat order), row 3C is the bias.
     """
     ws = jnp.stack([w.reshape(-1, w.shape[-1]) for w in conv_ws])  # (l,3C,C)
     bs = jnp.stack(conv_bs)                                        # (l, C)
-    layers, three_c, c = ws.shape
-    pad = _LANES - three_c - 1
-    return jnp.concatenate([
-        ws, bs[:, None, :], jnp.zeros((layers, pad, c), ws.dtype)],
-        axis=1).astype(dtype)
+    return jnp.concatenate([ws, bs[:, None, :]], axis=1).astype(dtype)
 
 
 def augment_lvc_kernels(kernels: jnp.ndarray, biases: jnp.ndarray) -> jnp.ndarray:
-    """(B,F,l,K,C,2C) kernels + (B,F,l,2C) biases -> (B,F,l,128,2C) with the
-    bias in contraction row K*C (round-1 augmentation, lvc_pallas.py)."""
+    """(B,F,l,K,C,2C) kernels + (B,F,l,2C) biases -> (B,F,l,K*C+1,2C) with
+    the bias in the final contraction row."""
     b, f, layers, k, c, c2 = kernels.shape
     kflat = kernels.reshape(b, f, layers, k * c, c2)
-    pad = _LANES - k * c - 1
-    return jnp.concatenate([
-        kflat, biases[..., None, :].astype(kflat.dtype),
-        jnp.zeros((b, f, layers, pad, c2), kflat.dtype)], axis=3)
+    return jnp.concatenate(
+        [kflat, biases[..., None, :].astype(kflat.dtype)], axis=3)
+
+
+def split_aug_kernels(kern_aug: jnp.ndarray, k: int = 3):
+    """Inverse of ``augment_lvc_kernels``: -> (kernels, biases)."""
+    b, f, layers, rows, c2 = kern_aug.shape
+    c = (rows - 1) // k
+    kernels = kern_aug[..., : k * c, :].reshape(b, f, layers, k, c, c2)
+    biases = kern_aug[..., k * c, :]
+    return kernels, biases
 
 
 def fusable(hop: int, n_frames: int) -> bool:
@@ -163,52 +172,110 @@ def fusable(hop: int, n_frames: int) -> bool:
 @functools.partial(jax.jit, static_argnames=("hop", "interpret"))
 def _fused_call(x, skip, kern_aug, wstack, hop: int, interpret: bool = False):
     b, length, c = x.shape
-    _, frames, layers, _, _ = kern_aug.shape
+    _, frames, layers, rows, c2 = kern_aug.shape
     assert length == frames * hop, (length, frames, hop)
+    assert rows == aug_rows(c), (rows, c)
 
     tf = _pick_tile_frames(frames, hop)
     n_tiles = frames // tf
     tile_s = tf * hop
     halo = max(hop, _MIN_HALO)            # frame-aligned (hop >= 64 here)
     hf = halo // hop
+    r = tile_s // halo                    # halo-units per tile
+    rk = tf // hf
+    n_halo_x = length // halo
+    n_halo_k = frames // hf
     grid = (b, n_tiles)
 
-    x4 = x.reshape(b, n_tiles, tile_s, c)
-    sk4 = skip.reshape(b, n_tiles, tile_s, c)
-    lhx, rhx = _edge_halos(x, n_tiles, tile_s, halo)
-    lhs, rhs = _edge_halos(skip, n_tiles, tile_s, halo)
+    x_spec = pl.BlockSpec((1, tile_s, c), lambda bi, ti: (bi, ti, 0),
+                          memory_space=pltpu.VMEM)
 
-    k4 = kern_aug.reshape(b, n_tiles, tf, layers, _LANES, 2 * c)
-    kflat = kern_aug
-    lhk = jnp.pad(kflat, ((0, 0), (hf, 0), (0, 0), (0, 0), (0, 0)))[:, :frames]
-    rhk = jnp.pad(kflat, ((0, 0), (0, hf), (0, 0), (0, 0), (0, 0)))[:, hf:]
-    lhk = lhk.reshape(b, n_tiles, tf, layers, _LANES, 2 * c)[:, :, :hf]
-    rhk = rhk.reshape(b, n_tiles, tf, layers, _LANES, 2 * c)[:, :, tf - hf:]
+    def x_halo(side):
+        def imap(bi, ti):
+            if side == "l":
+                return (bi, jnp.maximum(ti * r - 1, 0), 0)
+            return (bi, jnp.minimum(ti * r + r, n_halo_x - 1), 0)
+        return pl.BlockSpec((1, halo, c), imap, memory_space=pltpu.VMEM)
 
-    def tile_spec(rows):
-        return pl.BlockSpec((1, 1, rows, c), lambda bi, ti: (bi, ti, 0, 0),
+    k_spec = pl.BlockSpec((1, tf, layers, rows, c2),
+                          lambda bi, ti: (bi, ti, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def k_halo(side):
+        def imap(bi, ti):
+            if side == "l":
+                return (bi, jnp.maximum(ti * rk - 1, 0), 0, 0, 0)
+            return (bi, jnp.minimum(ti * rk + rk, n_halo_k - 1), 0, 0, 0)
+        return pl.BlockSpec((1, hf, layers, rows, c2), imap,
                             memory_space=pltpu.VMEM)
 
-    def kern_spec(rows):
-        return pl.BlockSpec((1, 1, rows, layers, _LANES, 2 * c),
-                            lambda bi, ti: (bi, ti, 0, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    wspec = pl.BlockSpec((layers, _LANES, c), lambda bi, ti: (0, 0, 0),
+    wspec = pl.BlockSpec((layers, rows, c), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
         functools.partial(_kernel_body, hop=hop, layers=layers, c=c,
                           length=length, tile_s=tile_s, halo=halo),
         grid=grid,
-        in_specs=[tile_spec(tile_s), tile_spec(halo), tile_spec(halo),
-                  tile_spec(tile_s), tile_spec(halo), tile_spec(halo),
-                  kern_spec(tf), kern_spec(hf), kern_spec(hf), wspec],
-        out_specs=tile_spec(tile_s),
-        out_shape=jax.ShapeDtypeStruct((b, n_tiles, tile_s, c), x.dtype),
+        in_specs=[x_spec, x_halo("l"), x_halo("r"),
+                  x_spec, x_halo("l"), x_halo("r"),
+                  k_spec, k_halo("l"), k_halo("r"), wspec],
+        out_specs=pl.BlockSpec((1, tile_s, c), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, length, c), x.dtype),
         interpret=interpret,
-    )(x4, lhx, rhx, sk4, lhs, rhs, k4, lhk, rhk, wstack)
-    return out.reshape(b, length, c)
+    )(x, x, x, skip, skip, skip, kern_aug, kern_aug, kern_aug, wstack)
+    return out
+
+
+def _head_mm_body(x_ref, w_ref, b_ref, out_ref):
+    acc = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    out_ref[...] = (acc + b_ref[...]).astype(out_ref.dtype)
+
+
+def _head_n_tile(n: int, cap: int = 2048) -> int:
+    """Largest divisor of n that is a multiple of 128 and <= cap."""
+    best = 0
+    for t in range(128, cap + 1, 128):
+        if n % t == 0:
+            best = t
+    return best
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def aug_head_matmul(tap_c, w_head, b_head, interpret: bool = False):
+    """Row-major-emitting matmul for the kernel-predictor head.
+
+    tap_c (M, K) bf16 @ w_head (K, N) bf16 + b_head (N,) f32 -> (M, N) bf16
+    written in ROW-MAJOR layout — which, reshaped to (B, F, layers, 3C+1,
+    2C), is byte-identical to the megakernel's kern_aug operand. XLA's own
+    dot chose an M-minor output layout here (the trunk runs at thin-channel
+    shapes), forcing f32 relayout copies of the model's largest activation
+    (~1.5 ms per block-call, xplane-traced); a pallas_call's operands and
+    results are always default row-major, so producing the operand inside
+    one makes the whole head->megakernel hand-off copy-free.
+    """
+    m, k = tap_c.shape
+    _, n = w_head.shape
+    n_tile = _head_n_tile(n)
+    assert n_tile, (n,)
+    m_tile = m if m <= 1024 else _head_n_tile(m, 1024) or 1024
+    grid = (pl.cdiv(m, m_tile), n // n_tile)
+    return pl.pallas_call(
+        _head_mm_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_tile, k), lambda mi, ni: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n_tile), lambda mi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_tile), lambda mi, ni: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, n_tile), lambda mi, ni: (mi, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), tap_c.dtype),
+        interpret=interpret,
+    )(tap_c, w_head, b_head.reshape(1, n).astype(jnp.float32))
 
 
 def _unfused_reference(x, skip, kernels, biases, conv_ws, conv_bs, hop):
@@ -235,7 +302,7 @@ def _unfused_reference(x, skip, kernels, biases, conv_ws, conv_bs, hop):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def lvc_block_fused(x, skip, kernels, biases, conv_ws, conv_bs, hop: int,
                     interpret: bool = False):
-    """Fused 4-layer LVC block.
+    """Fused 4-layer LVC block from naturally-shaped operands.
 
     x, skip: (B, L, C); kernels (B, F, layers, K, C, 2C);
     biases (B, F, layers, 2C); conv_ws (layers, K, C, C) effective dilated
@@ -264,3 +331,38 @@ def _bwd(hop, interpret, residuals, g):
 
 
 lvc_block_fused.defvjp(_fwd, _bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lvc_block_fused_aug(x, skip, kern_aug, wstack, hop: int,
+                        interpret: bool = False):
+    """Fused block from pre-augmented operands — the zero-prep inference
+    path (the kernel predictor emits ``kern_aug`` directly; ``wstack`` from
+    ``stack_conv_weights``)."""
+    return _fused_call(x, skip, kern_aug.astype(x.dtype),
+                       wstack.astype(x.dtype), hop, interpret)
+
+
+def _unfused_from_aug(x, skip, kern_aug, wstack, hop):
+    kernels, biases = split_aug_kernels(kern_aug)
+    c = x.shape[-1]
+    conv_ws = wstack[:, : 3 * c].reshape(wstack.shape[0], 3, c, c)
+    conv_bs = wstack[:, 3 * c]
+    return _unfused_reference(x, skip, kernels, biases.astype(jnp.float32),
+                              conv_ws, conv_bs.astype(jnp.float32), hop)
+
+
+def _aug_fwd(x, skip, kern_aug, wstack, hop, interpret):
+    out = lvc_block_fused_aug(x, skip, kern_aug, wstack, hop, interpret)
+    return out, (x, skip, kern_aug, wstack)
+
+
+def _aug_bwd(hop, interpret, residuals, g):
+    x, skip, kern_aug, wstack = residuals
+    _, vjp = jax.vjp(
+        lambda *args: _unfused_from_aug(*args, hop), x, skip, kern_aug,
+        wstack)
+    return vjp(g)
+
+
+lvc_block_fused_aug.defvjp(_aug_fwd, _aug_bwd)

@@ -100,16 +100,23 @@ def main():
         # compile + warmup (forced)
         float(force(sampler(params, jax.random.PRNGKey(1), mel, audio_len)))
 
-        def timed_loop(n=16):
+        def timed_loop(n):
             t0 = time.perf_counter()
             out = None
             for i in range(n):
                 out = sampler(params, jax.random.PRNGKey(2 + i), mel,
                               audio_len)
             float(force(out))     # forces the whole in-order chain
-            return (time.perf_counter() - t0) / n
+            return time.perf_counter() - t0
 
-        return min(timed_loop(), timed_loop())
+        # two-point slope: a single pipelined loop still carries a constant
+        # +RTT/n bias (~1.5 ms at n=16 with the relay's ~25 ms fetch RTT);
+        # the slope between two loop sizes cancels every constant
+        best = float("inf")
+        for _ in range(3):
+            t1, t2 = timed_loop(4), timed_loop(20)
+            best = min(best, (t2 - t1) / 16)
+        return best
 
     candidates = {"xla": cfg_xla}
     if on_tpu:

@@ -31,6 +31,7 @@ class ModelConfig:
     use_weight_norm: bool = True
     use_pallas_lvc: bool = False
     use_pallas_block: bool = False  # whole-LVC-block megakernel (TPU only)
+    use_pallas_down: bool = False   # fused down-path kernel (TPU only)
     compute_dtype: str = "bfloat16"
     conv_impl: str = "dot"          # "dot" (shifted matmuls; 2x faster
                                     # on TPU) | "lax" (conv_general_dilated)
@@ -72,6 +73,7 @@ class ModelConfig:
             # 'auto' resolves at the *inference* entry points (see
             # resolve_pallas_block); training keeps the XLA path
             use_pallas_block=(hp.get("use_pallas_block", False) is True),
+            use_pallas_down=(hp.get("use_pallas_down", False) is True),
             compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
             conv_impl=str(hp.get("conv_impl", "dot")),
         )
@@ -97,10 +99,29 @@ def resolve_pallas_block(hp: dict) -> bool:
     return bool(raw)
 
 
+def resolve_pallas_down(hp: dict) -> bool:
+    """Inference-time policy for the fused down-path kernel.
+
+    ``use_pallas_down: auto`` (the default) currently means OFF: under
+    slope timing the shifted-matmul XLA down path runs 0.44 ms/call at the
+    bench shape while the fused kernel runs 1.56 ms — the path's full-rate
+    stage carries (E, 1) audio and (E, k0+1) tap operands that Mosaic
+    lane-pads to 128, so every VPU pass costs 128x its logical bytes
+    (docs/PERF.md). Explicit true/false wins; the kernel stays one flag
+    away. Training always uses the XLA path."""
+    raw = hp.get("use_pallas_down", "auto")
+    if isinstance(raw, str):
+        if raw.strip().lower() in ("auto", ""):
+            return False
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    return bool(raw)
+
+
 def inference_model_config(cfg: "ModelConfig", hp: dict) -> "ModelConfig":
-    """ModelConfig for inference entry points: megakernel per policy."""
+    """ModelConfig for inference entry points: Pallas kernels per policy."""
     return dataclasses.replace(cfg,
-                               use_pallas_block=resolve_pallas_block(hp))
+                               use_pallas_block=resolve_pallas_block(hp),
+                               use_pallas_down=resolve_pallas_down(hp))
 
 
 @dataclasses.dataclass(frozen=True)

@@ -372,15 +372,30 @@ def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
     emb = fnn.swish(fnn.dense(params["fc_t1"], emb))
     emb = fnn.swish(fnn.dense(params["fc_t2"], emb))      # (B, 512) f32
 
-    x = fnn.conv1d(params["first_audio_conv"], audio.astype(dtype),
-                   compute_dtype=dtype, impl=cfg.conv_impl)
-    skips = []
     n_blocks = len(cfg.upsample_ratios)
     # downsample[n] shrinks by upsample_ratios[n_blocks-1-n] (FastDiff_model.py:63)
-    for n, dblock in enumerate(params["downsample"]):
-        skips.append(x)
-        factor = cfg.upsample_ratios[n_blocks - 1 - n]
-        x = _dblock_apply(dblock, x, factor, dtype, impl=cfg.conv_impl)
+    factors = tuple(cfg.upsample_ratios[::-1])
+    use_down_kernel = False
+    if cfg.use_pallas_down and n_blocks == 3 and dtype == jnp.bfloat16:
+        from fastdiff_tpu.ops.downpath_pallas import (downpath_fusable,
+                                                      downpath_fused)
+        use_down_kernel = downpath_fusable(audio.shape[1], factors)
+    if use_down_kernel:
+        # fused first-conv + DBlock chain: one VMEM-resident Pallas pass
+        # (interpret mode keeps the integration path testable on CPU)
+        *skips, x = downpath_fused(
+            {"first_audio_conv": params["first_audio_conv"],
+             "downsample": params["downsample"]},
+            audio.astype(jnp.float32), factors,
+            jax.default_backend() == "cpu")
+    else:
+        x = fnn.conv1d(params["first_audio_conv"], audio.astype(dtype),
+                       compute_dtype=dtype, impl=cfg.conv_impl)
+        skips = []
+        for n, dblock in enumerate(params["downsample"]):
+            skips.append(x)
+            factor = cfg.upsample_ratios[n_blocks - 1 - n]
+            x = _dblock_apply(dblock, x, factor, dtype, impl=cfg.conv_impl)
 
     hops = cfg.cond_hop_lengths
     for n, lvcb in enumerate(params["lvc_blocks"]):

@@ -82,7 +82,7 @@ def _leaky(x, slope=0.2):
 
 def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
                  *, hop: int, layers: int, c: int, length: int,
-                 tile_s: int, halo: int):
+                 tile_s: int, halo: int, lvc_unroll: bool):
     ext_e = tile_s + 2 * halo
     fe = ext_e // hop
     ti = pl.program_id(1)
@@ -99,6 +99,10 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
     def _roll(arr, shift):
         # pltpu.roll wants a non-negative shift, and Mosaic's tpu.dynamic_
         # rotate only supports 32-bit element types — route bf16 through f32.
+        # (Measured: batching the casts around a single f32 concat, and
+        # gating the masks behind an edge-tile lax.cond, were both SLOWER —
+        # slope-timed A/B 2026-08-17; this per-roll form is the fastest
+        # variant found.)
         if arr.dtype == jnp.float32:
             return pltpu.roll(arr, shift % ext_e, 0)
         rolled = pltpu.roll(arr.astype(jnp.float32), shift % ext_e, 0)
@@ -119,10 +123,16 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
         tap = jnp.concatenate(
             [_roll(y, 1), y, _roll(y, -1), ones], axis=1)
         win = tap.reshape(fe, hop, aug_rows(c))
-        z = jax.lax.dot_general(
-            win, kern[:, i],
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)              # (Fe, hop, 2C)
+        if lvc_unroll:
+            z = jnp.stack([
+                jax.lax.dot(win[f], kern[f, i],
+                            preferred_element_type=jnp.float32)
+                for f in range(fe)])                         # (Fe, hop, 2C)
+        else:
+            z = jax.lax.dot_general(
+                win, kern[:, i],
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)          # (Fe, hop, 2C)
         gate = jax.nn.sigmoid(z[..., :c]) * jnp.tanh(z[..., c:])
         carry = s + gate.reshape(ext_e, c).astype(s.dtype)
 
@@ -130,8 +140,13 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
 
 
 def _pick_tile_frames(n_frames: int, hop: int) -> int:
-    """Frames per program: ~2k center samples, dividing n_frames."""
-    target = max(1, 2048 // hop)
+    """Frames per program: ~8k center samples, dividing n_frames.
+
+    Bigger tiles amortize the per-program halo recompute (halo is one
+    frame each side at hop>=64: 25% extra rows at 2k tiles, 6% at 8k) and
+    the Mosaic program overhead; slope-timed A/B picked 8k over 2k/4k/16k.
+    """
+    target = max(1, 8192 // hop)
     divisors = [tf for tf in range(1, n_frames + 1) if n_frames % tf == 0]
     return min(divisors, key=lambda tf: abs(tf - target))
 
@@ -169,14 +184,17 @@ def fusable(hop: int, n_frames: int) -> bool:
     return hop >= _MIN_FUSED_HOP and n_frames >= 2
 
 
-@functools.partial(jax.jit, static_argnames=("hop", "interpret"))
-def _fused_call(x, skip, kern_aug, wstack, hop: int, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("hop", "interpret",
+                                             "tile_frames", "lvc_unroll"))
+def _fused_call(x, skip, kern_aug, wstack, hop: int, interpret: bool = False,
+                tile_frames: int | None = None,
+                lvc_unroll: bool | None = None):
     b, length, c = x.shape
     _, frames, layers, rows, c2 = kern_aug.shape
     assert length == frames * hop, (length, frames, hop)
     assert rows == aug_rows(c), (rows, c)
 
-    tf = _pick_tile_frames(frames, hop)
+    tf = tile_frames if tile_frames else _pick_tile_frames(frames, hop)
     n_tiles = frames // tf
     tile_s = tf * hop
     halo = max(hop, _MIN_HALO)            # frame-aligned (hop >= 64 here)
@@ -212,9 +230,15 @@ def _fused_call(x, skip, kern_aug, wstack, hop: int, interpret: bool = False):
     wspec = pl.BlockSpec((layers, rows, c), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM)
 
+    if lvc_unroll is None:
+        # unrolled per-frame dots beat batched dot_general 2x in ISOLATION
+        # (bench_mosaic_micro) but measure the same inside the full kernel
+        # and balloon VMEM stack; default to the batched lowering
+        lvc_unroll = False
     out = pl.pallas_call(
         functools.partial(_kernel_body, hop=hop, layers=layers, c=c,
-                          length=length, tile_s=tile_s, halo=halo),
+                          length=length, tile_s=tile_s, halo=halo,
+                          lvc_unroll=lvc_unroll),
         grid=grid,
         in_specs=[x_spec, x_halo("l"), x_halo("r"),
                   x_spec, x_halo("l"), x_halo("r"),
@@ -222,6 +246,10 @@ def _fused_call(x, skip, kern_aug, wstack, hop: int, interpret: bool = False):
         out_specs=pl.BlockSpec((1, tile_s, c), lambda bi, ti: (bi, ti, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, length, c), x.dtype),
+        # 8k-sample tiles + unrolled LVC dots exceed Mosaic's default 16 MB
+        # scoped-vmem stack limit; v5e has 128 MB VMEM — allow 96 MB
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2 ** 20),
         interpret=interpret,
     )(x, x, x, skip, skip, skip, kern_aug, kern_aug, kern_aug, wstack)
     return out

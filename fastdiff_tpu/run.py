@@ -40,6 +40,14 @@ def run_task(hparams: dict):
 
 def main():
     hparams = set_hparams()
+    # persistent XLA/Mosaic compilation cache: big compiles (the N=1000
+    # reverse-process scan is ~31 s cold) amortize across processes
+    import os
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/jax_comp"))
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     # multi-host TPU slices: initialize the distributed runtime before any
     # backend use so jax.devices() spans the slice (see parallel/mesh.py)
     from fastdiff_tpu.parallel.mesh import maybe_initialize_distributed

@@ -41,7 +41,13 @@ class BaseVocoder:
 
     @staticmethod
     def wav2spec(wav_fn, hparams: dict = None):
-        """Canonical analysis front-end: wav file -> (wav, mel (T, n_mels))."""
+        """Canonical analysis front-end: wav file -> (wav, mel (T, n_mels)).
+
+        Honors the reference ``process_utterance`` pre-processing flags
+        (data_gen/tts/data_gen_utils.py:103-120): ``trim_long_sil`` (VAD
+        silence clipping, which also loudness-normalizes first, as the
+        reference's trim_long_silences does) and ``loud_norm`` (BS.1770
+        normalization to -22 LUFS)."""
         from fastdiff_tpu.config import AudioConfig
         from fastdiff_tpu.ops.dsp import wav2mel_np
         from fastdiff_tpu.utils import audio_io
@@ -49,5 +55,13 @@ class BaseVocoder:
         hp = hparams if hparams is not None else global_hp
         cfg = AudioConfig.from_hparams(hp)
         wav, _ = audio_io.load_wav(wav_fn, target_sr=cfg.sample_rate)
+        if hp.get("trim_long_sil"):
+            from fastdiff_tpu.ops.loudness import (normalize_loudness,
+                                                   trim_long_silences)
+            wav = normalize_loudness(wav, cfg.sample_rate, -20.0)
+            wav = trim_long_silences(wav, cfg.sample_rate)
+        if hp.get("loud_norm"):
+            from fastdiff_tpu.ops.loudness import normalize_loudness
+            wav = normalize_loudness(wav, cfg.sample_rate, -22.0)
         wav, mel = wav2mel_np(wav, cfg)
         return wav, mel.T

@@ -29,25 +29,32 @@ from fastdiff_tpu.parallel import mesh as meshlib
 class BatchedVocoder:
     def __init__(self, denoise_fn: Callable, constants, hop_size: int,
                  mesh=None, frame_bucket: int = 128,
-                 max_batch: int = 16):
+                 max_batch: int = None):
         """denoise_fn(x, mel, t) -> eps; constants from
-        sampler_constants_for_schedule."""
+        sampler_constants_for_schedule.
+
+        ``max_batch`` defaults to the dp mesh size, i.e. PER-DEVICE BATCH
+        1: on-chip batching anti-scales at these thin-channel shapes
+        (488x aggregate realtime at batch 1 vs 225x at batch 4 on one
+        chip — docs/PERF.md), so extra utterances run as additional
+        rounds instead of fatter batches. Raise it only after measuring.
+        """
         self.sampler = make_sampler(denoise_fn, constants)
         self.hop = hop_size
         self.mesh = mesh or meshlib.make_mesh()
         self.frame_bucket = frame_bucket
-        self.max_batch = max_batch
+        self.max_batch = max_batch or self.mesh.shape.get("dp", 1)
 
     @classmethod
     def from_sampler(cls, sampler: Callable, hop_size: int, mesh=None,
-                     frame_bucket: int = 128, max_batch: int = 16):
+                     frame_bucket: int = 128, max_batch: int = None):
         """Wrap an existing jitted ``sampler(key, mel, audio_length)``."""
         self = cls.__new__(cls)
         self.sampler = sampler
         self.hop = hop_size
         self.mesh = mesh or meshlib.make_mesh()
         self.frame_bucket = frame_bucket
-        self.max_batch = max_batch
+        self.max_batch = max_batch or self.mesh.shape.get("dp", 1)
         return self
 
     def _bucket(self, frames: int) -> int:

@@ -72,6 +72,22 @@ def f0_to_cwt(f0: np.ndarray):
     return spec, mean, std
 
 
+def cwt_to_f0_jnp(cwt_spec, mean, std):
+    """In-graph (jnp) inverse for model-side cwt-pitch prediction:
+    cwt_spec (B, T, 10), mean/std (B,) or (B, 1) -> f0 (B, T) Hz.
+
+    Same approximate inverse as ``cwt_to_f0``; the per-utterance
+    renormalization runs over the time axis."""
+    import jax.numpy as jnp
+    spec = jnp.asarray(cwt_spec, jnp.float32)
+    weights = jnp.asarray([(i + 1 + 2.5) ** (-2.5)
+                           for i in range(spec.shape[-1])], jnp.float32)
+    recon = spec @ weights                                     # (B, T)
+    recon = recon / (jnp.std(recon, axis=-1, keepdims=True) + 1e-8)
+    logf0 = recon * jnp.reshape(std, (-1, 1)) + jnp.reshape(mean, (-1, 1))
+    return jnp.exp(logf0)
+
+
 def cwt_to_f0(cwt_spec: np.ndarray, mean: float, std: float) -> np.ndarray:
     """Approximate inverse: (T, 10) + stats -> f0 (T,) Hz."""
     spec = np.asarray(cwt_spec, np.float64)

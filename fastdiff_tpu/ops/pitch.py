@@ -99,6 +99,53 @@ def f0_to_coarse(f0: np.ndarray) -> np.ndarray:
     return coarse.astype(np.int64)
 
 
+def f0_to_coarse_jnp(f0):
+    """In-graph (jnp) variant of ``f0_to_coarse`` for model-side pitch
+    embedding lookups (reference: utils/pitch_utils.py:137-147)."""
+    import jax.numpy as jnp
+    f0_mel = 1127.0 * jnp.log(1.0 + f0 / 700.0)
+    scaled = (f0_mel - _F0_MEL_MIN) * (F0_BIN - 2) / (
+        _F0_MEL_MAX - _F0_MEL_MIN) + 1
+    coarse = jnp.where(f0_mel > 0,
+                       jnp.round(jnp.clip(scaled, 1, F0_BIN - 1)), 1.0)
+    return coarse.astype(jnp.int32)
+
+
+def norm_f0(f0: np.ndarray, uv, pitch_norm: str = "log") -> np.ndarray:
+    """Normalize f0 (log2 domain by default); unvoiced positions -> 0
+    (reference: utils/pitch_utils.py:149-157, pitch_norm='log')."""
+    f0 = np.asarray(f0, np.float32)
+    out = np.log2(f0 + 1e-8) if pitch_norm == "log" else f0.copy()
+    if uv is not None:
+        out[np.asarray(uv) > 0] = 0.0
+    return out
+
+
+def norm_interp_f0(f0: np.ndarray, pitch_norm: str = "log"):
+    """(f0_normalized_interpolated, uv) — unvoiced gaps filled by linear
+    interpolation so the frame-level pitch target is continuous
+    (reference: utils/pitch_utils.py:160-176)."""
+    f0 = np.asarray(f0, np.float32)
+    uv = (f0 == 0).astype(np.float32)
+    out = norm_f0(f0, uv, pitch_norm)
+    voiced = uv == 0
+    if voiced.any() and (~voiced).any():
+        idx = np.arange(len(f0))
+        out[~voiced] = np.interp(idx[~voiced], idx[voiced], out[voiced])
+    return out.astype(np.float32), uv
+
+
+def denorm_f0_jnp(f0, uv, pitch_norm: str = "log"):
+    """In-graph inverse of ``norm_f0``; clips to [0, F0_MAX], unvoiced -> 0
+    (reference: utils/pitch_utils.py:179-195)."""
+    import jax.numpy as jnp
+    out = jnp.exp2(f0) if pitch_norm == "log" else f0
+    out = jnp.clip(out, 0.0, F0_MAX)
+    if uv is not None:
+        out = jnp.where(uv > 0, 0.0, out)
+    return out
+
+
 def get_pitch(wav: np.ndarray, mel_frames: int, cfg: AudioConfig):
     """(f0, coarse_pitch) aligned to mel frames (get_pitch contract,
     data_gen_utils.py:150-191): both length ``mel_frames``."""

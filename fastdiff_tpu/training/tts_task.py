@@ -34,20 +34,54 @@ def _round_up(n: int, multiple: int) -> int:
     return ((n + multiple - 1) // multiple) * multiple
 
 
-def collate_tts(items, token_pad: int, frame_pad: int, n_mels: int) -> Dict:
-    """Pad a list of TTS records to bucketed fixed shapes."""
+def _np_mel_energy(mel: np.ndarray) -> np.ndarray:
+    """Host mirror of models.fastspeech2.mel_energy (log10 front-end)."""
+    lin = np.power(10.0, mel)
+    return np.log10(1.0 + np.sqrt((lin ** 2).sum(-1))).astype(np.float32)
+
+
+def _is_sil_phone(p: str) -> bool:
+    """Silence/punctuation phones = non-alphabetic tokens (the reference's
+    TokenTextEncoder.sil_phonemes convention)."""
+    return not any(ch.isalpha() for ch in p)
+
+
+def collate_tts(items, token_pad: int, frame_pad: int, n_mels: int,
+                pitch_type: str = "frame",
+                pitch_norm: str = "log") -> Dict:
+    """Pad a list of TTS records to bucketed fixed shapes.
+
+    Emits, beyond tokens/mels/mel2ph/dur: coarse ``pitch`` (legacy mode),
+    normalized+interpolated ``f0`` with ``uv`` (frame/cwt pitch —
+    reference: tasks/tts/dataset_utils.py:142-143 norm_interp_f0),
+    per-frame ``energy`` from the mel (dataset_utils.py:127), ``is_sil``
+    word-boundary marks, and cwt fields when ``pitch_type='cwt'``.
+    """
+    from fastdiff_tpu.ops.pitch import norm_interp_f0
     batch = len(items)
     tokens = np.zeros((batch, token_pad), np.int32)
     mels = np.zeros((batch, frame_pad, n_mels), np.float32)
     mel2ph = np.zeros((batch, frame_pad), np.int32)
     pitch = np.ones((batch, frame_pad), np.int32)
+    f0 = np.zeros((batch, frame_pad), np.float32)
+    uv = np.zeros((batch, frame_pad), np.float32)
+    energy = np.zeros((batch, frame_pad), np.float32)
     dur = np.zeros((batch, token_pad), np.float32)
+    is_sil = np.zeros((batch, token_pad), np.float32)
+    want_cwt = pitch_type == "cwt"
+    cwt_spec = np.zeros((batch, frame_pad, 10), np.float32) if want_cwt else None
+    cwt_mean = np.zeros((batch,), np.float32) if want_cwt else None
+    cwt_std = np.ones((batch,), np.float32) if want_cwt else None
     for b, item in enumerate(items):
         tok = np.asarray(item["phone"], np.int32)
         mel = np.asarray(item["mel"], np.float32)
         t_ph, t_mel = len(tok), mel.shape[0]
         tokens[b, :t_ph] = tok
         mels[b, :t_mel] = mel
+        energy[b, :t_mel] = _np_mel_energy(mel)
+        if "ph" in item:
+            for i, p in enumerate(str(item["ph"]).split()[:t_ph]):
+                is_sil[b, i] = float(_is_sil_phone(p))
         if "mel2ph" in item:
             mel2ph[b, :t_mel] = np.asarray(item["mel2ph"], np.int32)
         else:
@@ -58,10 +92,31 @@ def collate_tts(items, token_pad: int, frame_pad: int, n_mels: int) -> Dict:
                 m2p[bounds[p]: bounds[p + 1]] = p + 1
             mel2ph[b, :t_mel] = m2p
         if "pitch" in item:
-            pitch[b, :t_mel] = np.asarray(item["pitch"], np.int32)
+            pitch[b, :t_mel] = np.asarray(item["pitch"], np.int32)[:t_mel]
+        if "f0" in item:
+            f0_raw = np.asarray(item["f0"], np.float32)[:t_mel]
+            f0n, uvb = norm_interp_f0(f0_raw, pitch_norm)
+            f0[b, :len(f0n)] = f0n
+            uv[b, :len(uvb)] = uvb
+            uv[b, len(uvb):t_mel] = 1.0
+            if want_cwt:
+                if "cwt_spec" in item:
+                    spec = np.asarray(item["cwt_spec"], np.float32)[:t_mel]
+                    mean = float(item.get("cwt_mean", 0.0))
+                    std = float(item.get("cwt_std", 1.0))
+                else:
+                    from fastdiff_tpu.ops.cwt import f0_to_cwt
+                    spec, mean, std = f0_to_cwt(f0_raw)
+                    spec = spec[:t_mel]
+                cwt_spec[b, :len(spec)] = spec
+                cwt_mean[b] = mean
+                cwt_std[b] = std
         dur[b] = np.bincount(mel2ph[b], minlength=token_pad + 1)[1: token_pad + 1]
     out = {"tokens": tokens, "mels": mels, "mel2ph": mel2ph,
-           "pitch": pitch, "dur": dur}
+           "pitch": pitch, "f0": f0, "uv": uv, "energy": energy,
+           "dur": dur, "is_sil": is_sil}
+    if want_cwt:
+        out.update(cwt_spec=cwt_spec, cwt_mean=cwt_mean, cwt_std=cwt_std)
     if all("spk_embed" in item for item in items):
         out["spk_embed"] = np.stack(
             [np.asarray(item["spk_embed"], np.float32) for item in items])
@@ -102,14 +157,32 @@ class FastSpeech2Task:
         return meshlib.replicate(state, self.mesh)
 
     # -- steps -------------------------------------------------------------
+    def _apply_train(self, params, batch):
+        cfg = self.model_cfg
+        kwargs = dict(mel2ph=batch["mel2ph"],
+                      spk_embed=batch.get("spk_embed"))
+        if cfg.use_pitch:
+            if cfg.pitch_type == "coarse":
+                kwargs["pitch"] = batch["pitch"]
+            else:
+                kwargs["f0"] = batch["f0"]
+                kwargs["uv"] = batch["uv"]
+        if cfg.use_energy:
+            kwargs["energy"] = batch["energy"]
+        return fastspeech2_apply(params, batch["tokens"], cfg, **kwargs)
+
     def _loss(self, params, batch):
-        out = fastspeech2_apply(
-            params, batch["tokens"], self.model_cfg,
-            mel2ph=batch["mel2ph"], pitch=batch["pitch"],
-            spk_embed=batch.get("spk_embed"))
-        src_mask = (batch["tokens"] > 0).astype(jnp.float32)
-        losses = fastspeech2_loss(out, batch["mels"], batch["dur"], src_mask,
-                                  pitch_gt=batch["pitch"])
+        out = self._apply_train(params, batch)
+        hp = self.hparams
+        from fastdiff_tpu.ops.mel_losses import parse_mel_losses
+        mel_cfg = parse_mel_losses(hp.get("mel_loss", "l1"))
+        lambdas = {k: float(hp[k]) for k in (
+            "lambda_ph_dur", "lambda_word_dur", "lambda_sent_dur",
+            "lambda_f0", "lambda_uv", "lambda_energy", "lambda_cwt",
+            "lambda_cwt_stats") if k in hp}
+        losses = fastspeech2_loss(
+            out, batch, self.model_cfg, mel_loss_and_lambda=mel_cfg,
+            lambdas=lambdas, pitch_loss=str(hp.get("pitch_loss", "l1")))
         losses["loss"] = losses["total"]   # trainer-facing alias
         return losses["total"], losses
 
@@ -146,10 +219,8 @@ class FastSpeech2Task:
         """GT-vs-predicted mel figures for the first validation batch
         (reference: tasks/tts/tts_base.py:224-245 plot_mel)."""
         from fastdiff_tpu.utils.plot import spec_to_figure
-        out = fastspeech2_apply(
-            state["params"], jnp.asarray(batch["tokens"]), self.model_cfg,
-            mel2ph=jnp.asarray(batch["mel2ph"]),
-            pitch=jnp.asarray(batch["pitch"]))
+        out = self._apply_train(
+            state["params"], {k: jnp.asarray(v) for k, v in batch.items()})
         figs = {}
         n_plots = min(int(self.hparams.get("num_valid_plots", 2)),
                       batch["mels"].shape[0], 2)
@@ -183,7 +254,9 @@ class FastSpeech2Task:
             if len(buf) == batch_size:
                 token_pad = _round_up(max(len(i["phone"]) for i in buf), 8)
                 frame_pad = _round_up(max(i["mel"].shape[0] for i in buf), 32)
-                yield collate_tts(buf, token_pad, frame_pad, n_mels)
+                yield collate_tts(buf, token_pad, frame_pad, n_mels,
+                                  pitch_type=self.model_cfg.pitch_type,
+                                  pitch_norm=self.model_cfg.pitch_norm)
                 buf = []
 
     def train_dataloader(self):

@@ -195,6 +195,11 @@ class TTSPreAlign(VocoderPreAlign):
         txt) — the reference's process_text contract."""
         phs, txt = txt_processor.process(txt_raw, pre_align_args)
         phs = [p.strip() for p in phs if p.strip()]
+        # boundary markers that are word separators (NOT audible silence):
+        # the processor's own list when it defines one (zh adds '#'),
+        # else this class's default (reference: base_pre_align.py:135
+        # consults txt_processor.sp_phonemes())
+        sp_phonemes = getattr(txt_processor, "sp_phonemes", cls.sp_phonemes)()
         while phs and is_sil_phoneme(phs[0]):
             phs = phs[1:]
         while phs and is_sil_phoneme(phs[-1]):
@@ -215,7 +220,7 @@ class TTSPreAlign(VocoderPreAlign):
                     ph_for_align.append("_".join(cur_word))
                     word_prons.add(" ".join(cur_word))
                     cur_word = []
-                if p not in cls.sp_phonemes():
+                if p not in sp_phonemes:
                     ph_for_align.append("SIL")
             else:
                 cur_word.append(p)

@@ -120,6 +120,11 @@ class GraphemeProcessor(BaseTxtProcessor):
         return _clean_separators(cls.text_to_graphemes(text)), text
 
 
+PUNCS = "!,.?;:"                 # reference: data_gen_utils.py:22
+_ZH_PUNC_MAP = {"。": ".", "，": ",", "！": "!", "？": "?", "；": ";",
+                "：": ":", "、": ","}
+
+
 @register_processor("zh")
 @register_processor("zh_g2pM")
 class ZhProcessor(BaseTxtProcessor):
@@ -127,7 +132,17 @@ class ZhProcessor(BaseTxtProcessor):
     polyphone word contexts and tone sandhi (text/zh_g2p.py) — the role of
     the reference's zh/zh_g2pM processors (data_gen/tts/txt_processors/
     {zh,zh_g2pM}.py) without their external model dependencies. g2pM or
-    pypinyin are still preferred automatically when importable."""
+    pypinyin are still preferred automatically when importable.
+
+    Output follows the reference's boundary contract (zh.py:61-90): ``#``
+    marks segmentation-word boundaries, ``|`` separates syllables within a
+    word, punctuation survives as its own tokens, and boundary markers
+    adjacent to silence tokens are dropped."""
+
+    # extra word-boundary phones beyond the shared '|' (zh.py sp_phonemes)
+    @staticmethod
+    def sp_phonemes():
+        return ["|", "#"]
 
     @classmethod
     def process(cls, text, pre_align_args=None):
@@ -136,22 +151,72 @@ class ZhProcessor(BaseTxtProcessor):
         from fastdiff_tpu.text.zh_norm import normalize_zh
         text = normalize_zh(text)
         phones: List[str] = []
-        chars: List[str] = []     # hanzi per non-separator phone, for sandhi
-        # word separators at segment boundaries (lexicon words / jieba) and
-        # at non-hanzi characters (punctuation)
+        chars: List[str] = []     # hanzi per syllable phone, for sandhi
         for seg in zh_segment(text):
-            if phones and phones[-1] != "|":
-                phones.append("|")
             if is_hanzi(seg[0]):
-                phones.extend(zh_g2p(seg))
+                if phones:
+                    phones.append("#")          # jieba/lexicon word boundary
+                for j, syl in enumerate(zh_g2p(seg)):
+                    if j:
+                        phones.append("|")      # char boundary within word
+                    phones.append(syl)
                 chars.extend(ch for ch in seg if is_hanzi(ch))
+            else:
+                p = _ZH_PUNC_MAP.get(seg, seg)
+                if p in PUNCS:
+                    phones.append(p)
+        # drop boundary markers adjacent to silence tokens (zh.py:84-89)
+        sil = set(PUNCS) | {"|", "#"}
+        cleaned: List[str] = []
+        for i, p in enumerate(phones):
+            if p in ("#", "|"):
+                prev_sil = i > 0 and phones[i - 1] in sil
+                next_sil = i + 1 < len(phones) and phones[i + 1] in sil
+                if prev_sil or next_sil:
+                    continue
+            cleaned.append(p)
+        phones = cleaned
         # tone sandhi across word boundaries (一/不 context is the next
         # syllable regardless of segmentation)
-        idx = [i for i, p in enumerate(phones) if p != "|"]
+        idx = [i for i, p in enumerate(phones)
+               if p not in ("|", "#") and p not in PUNCS]
         fixed = apply_sandhi([phones[i] for i in idx], chars)
         for i, s in zip(idx, fixed):
             phones[i] = s
         return _clean_separators(phones), text
+
+
+@register_processor("zh_song_seg")
+@register_processor("zh_g2pM_song_seg")
+class ZhSongSegProcessor(ZhProcessor):
+    """Song-segment variant: ``SEP`` markers in the lyrics text survive as
+    explicit ``SEP`` phones and all word-boundary markers are stripped
+    (reference: data_gen/tts/txt_processors/zh_song_seg.py,
+    zh_g2pM_song_seg.py — identical post-processing over the two G2P
+    backends, which this repo serves with one processor)."""
+
+    @staticmethod
+    def sp_phonemes():
+        return ["|", "#", "&"]
+
+    @classmethod
+    def process(cls, text, pre_align_args=None):
+        text = text.replace("SEP", "&")
+        ph_list, txt = super().process(text.replace("&", ""),
+                                       pre_align_args)
+        # the sentinel survives normalization as an unknown char -> rebuild:
+        # process each SEP-delimited chunk independently, join with 'SEP'
+        chunks = text.split("&")
+        phones: List[str] = []
+        norm_parts: List[str] = []
+        for ci, chunk in enumerate(chunks):
+            if ci:
+                phones.append("SEP")
+            ph, norm = ZhProcessor.process(chunk, pre_align_args)
+            phones.extend(p for p in ph
+                          if p not in ("|", "#", "<BOS>", "<EOS>"))
+            norm_parts.append(norm)
+        return phones, " SEP ".join(norm_parts)
 
 
 def _clean_separators(phones: List[str]) -> List[str]:

@@ -63,7 +63,11 @@ def test_tts_pre_align_artifacts(tmp_path):
 
     mfa_dict = open(os.path.join(pdir, "mfa_dict.txt")).read()
     assert "SIL SIL" in mfa_dict
-    assert "zhong1_guo2 zhong1 guo2" in mfa_dict  # word-level pronunciation
+    # MFA 'words' are alignment units between boundary markers; with the
+    # zh processor's reference boundary contract ('#' between jieba words,
+    # '|' between in-word syllables — both word breaks, base_pre_align.py
+    # :126-138) each whole-syllable phone is its own unit
+    assert "zhong1 zhong1" in mfa_dict
 
     labs = []
     for root, _, files in os.walk(os.path.join(pdir, "mfa_inputs")):

@@ -109,7 +109,28 @@ def test_processor_end_to_end():
     from fastdiff_tpu.text.processors import get_txt_processor_cls
     phones, norm = get_txt_processor_cls("zh").process("今天8:30，气温-3℃。")
     assert "UNK" not in phones
-    assert "|" in phones                      # word separator at punctuation
+    assert "|" in phones          # char boundary within a word (zh.py:61-82)
+    assert "#" in phones          # segmentation-word boundary
+    assert "," in phones          # punctuation survives as its own token
     assert phones[0] == "jin1"
+    # boundary markers never sit next to silence tokens (zh.py:84-89)
+    sil = set("!,.?;:") | {"|", "#"}
+    for a, b in zip(phones, phones[1:]):
+        assert not (a in ("#", "|") and b in sil), (a, b)
+        assert not (b in ("#", "|") and a in sil and a not in ("#", "|")), (a, b)
     # zh_g2pM alias resolves to the same processor
     assert get_txt_processor_cls("zh_g2pM") is get_txt_processor_cls("zh")
+
+
+def test_song_seg_processor():
+    """SEP markers survive as phones; boundary markers are stripped
+    (reference: txt_processors/zh_song_seg.py, zh_g2pM_song_seg.py)."""
+    from fastdiff_tpu.text.processors import get_txt_processor_cls
+    cls = get_txt_processor_cls("zh_song_seg")
+    phones, norm = cls.process("今天SEP气温低")
+    assert "SEP" in phones
+    assert "|" not in phones and "#" not in phones
+    assert phones[0] == "jin1"
+    assert " SEP " in norm
+    assert get_txt_processor_cls("zh_g2pM_song_seg") is cls
+    assert cls.sp_phonemes() == ["|", "#", "&"]

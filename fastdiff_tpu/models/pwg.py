@@ -51,6 +51,37 @@ class PWGConfig:
     def layers_per_stack(self) -> int:
         return self.layers // self.stacks
 
+    @classmethod
+    def from_hparams(cls, hp: dict) -> "PWGConfig":
+        """Build from the flat hparams dict (the ``denoiser: pwg`` family)."""
+        return cls(
+            kernel_size=int(hp.get("pwg_kernel_size", 3)),
+            layers=int(hp.get("pwg_layers", 30)),
+            stacks=int(hp.get("pwg_stacks", 3)),
+            residual_channels=int(hp.get("pwg_residual_channels", 64)),
+            gate_channels=int(hp.get("pwg_gate_channels", 128)),
+            skip_channels=int(hp.get("pwg_skip_channels", 64)),
+            aux_channels=int(hp.get("audio_num_mel_bins", 80)),
+            aux_context_window=int(hp.get("pwg_aux_context_window", 2)),
+            upsample_scales=tuple(hp.get("pwg_upsample_scales", (4, 4, 4, 4))),
+            compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
+        )
+
+
+_PWG_APPLY_FNS: dict = {}
+
+
+def get_apply_fn(cfg: PWGConfig):
+    """Identity-stable diffusion-PWG ``apply(params, x, mel, t)`` per frozen
+    config — the static jit key for the param-traced sampler (same contract
+    as models.fastdiff.get_apply_fn)."""
+    fn = _PWG_APPLY_FNS.get(cfg)
+    if fn is None:
+        def fn(params, x, mel, t):
+            return pwg_diffusion_apply(params, x, mel, t, cfg)
+        _PWG_APPLY_FNS[cfg] = fn
+    return fn
+
 
 def init_pwg(key, cfg: PWGConfig) -> dict:
     """Random init (torch-default uniform); real use imports checkpoints."""

@@ -77,6 +77,25 @@ class MoLWaveNetConfig:
         return (self.kernel_size - 1) * sum(
             self.dilation(i) for i in range(self.layers)) + 1
 
+    @classmethod
+    def from_hparams(cls, hp: dict) -> "MoLWaveNetConfig":
+        """Build from the flat hparams dict (the AR-vocoder task family)."""
+        return cls(
+            out_channels=int(hp.get("wn_out_channels", 30)),
+            layers=int(hp.get("wn_layers", 24)),
+            stacks=int(hp.get("wn_stacks", 4)),
+            residual_channels=int(hp.get("wn_residual_channels", 128)),
+            gate_channels=int(hp.get("wn_gate_channels", 256)),
+            skip_channels=int(hp.get("wn_skip_channels", 128)),
+            kernel_size=int(hp.get("wn_kernel_size", 3)),
+            cin_channels=int(hp.get("audio_num_mel_bins", 80)),
+            upsample_scales=tuple(hp.get("wn_upsample_scales", (4, 4, 4, 4))),
+            scalar_input=bool(hp.get("wn_scalar_input", True)),
+            output_distribution=str(hp.get("wn_output_distribution",
+                                           "Logistic")),
+            compute_dtype=str(hp.get("wn_compute_dtype", "float32")),
+        )
+
 
 def init_wavenet_mol(key, cfg: MoLWaveNetConfig) -> dict:
     keys = jax.random.split(key, 4 + cfg.layers)

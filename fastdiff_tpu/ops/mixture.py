@@ -158,9 +158,13 @@ def inv_mulaw(y: jnp.ndarray, mu: int = 255) -> jnp.ndarray:
 
 
 def mulaw_quantize(x: jnp.ndarray, mu: int = 255) -> jnp.ndarray:
-    """[-1, 1] -> integer class ids [0, mu]."""
+    """[-1, 1] -> integer class ids [0, mu].
+
+    Truncates (no rounding) to match nnmnkwii's ``mulaw_quantize`` used by
+    the reference pipeline (``((y+1)/2*mu).astype(int)``); this also makes
+    ``mulaw_quantize(0) == 127``, the AR generator's one-hot seed id."""
     y = mulaw(x, mu)
-    return jnp.clip(((y + 1.0) / 2.0 * mu + 0.5).astype(jnp.int32), 0, mu)
+    return jnp.clip(((y + 1.0) / 2.0 * mu).astype(jnp.int32), 0, mu)
 
 
 def inv_mulaw_quantize(ids: jnp.ndarray, mu: int = 255) -> jnp.ndarray:

@@ -54,12 +54,18 @@ class FastDiffTask:
         # EMA of params for eval/inference (common diffusion practice the
         # reference lacks); 0 disables.
         self.ema_decay = float(hparams.get("ema_decay", 0.0) or 0.0)
-        # denoiser family: 'fastdiff' (default) or 'wavenet' (DiffWave-style)
-        # — the reference ships WaveNet as dead code; here it's trainable.
+        # denoiser family: 'fastdiff' (default), 'wavenet' (DiffWave-style)
+        # or 'pwg' (diffusion-conditioned ParallelWaveGAN) — the reference
+        # ships the latter two as dead code; here they are trainable
+        # (WaveNet_vocoder: modules/FastDiff/module/WaveNet.py;
+        # diffusion PWG: parallel_wavegan/models/parallel_wavegan.py:23-231).
         self.denoiser_type = str(hparams.get("denoiser", "fastdiff"))
         if self.denoiser_type == "wavenet":
             from fastdiff_tpu.models.wavenet import WaveNetConfig
             self.model_cfg = WaveNetConfig.from_hparams(hparams)
+        elif self.denoiser_type == "pwg":
+            from fastdiff_tpu.models.pwg import PWGConfig
+            self.model_cfg = PWGConfig.from_hparams(hparams)
         else:
             self.model_cfg = ModelConfig.from_hparams(hparams)
 
@@ -67,6 +73,9 @@ class FastDiffTask:
         if self.denoiser_type == "wavenet":
             from fastdiff_tpu.models.wavenet import init_wavenet
             return init_wavenet(key, self.model_cfg)
+        if self.denoiser_type == "pwg":
+            from fastdiff_tpu.models.pwg import init_pwg_diffusion
+            return init_pwg_diffusion(key, self.model_cfg)
         return init_fastdiff(key, self.model_cfg)
 
     # -- state -------------------------------------------------------------
@@ -107,6 +116,12 @@ class FastDiffTask:
             def fn(x, mel, t):
                 return wavenet_apply(params, x, mel, t, cfg)
             return fn
+        if self.denoiser_type == "pwg":
+            from fastdiff_tpu.models.pwg import pwg_diffusion_apply
+
+            def fn(x, mel, t):
+                return pwg_diffusion_apply(params, x, mel, t, cfg)
+            return fn
 
         def fn(x, mel, t):
             return fastdiff_apply(params, x, mel, t, cfg)
@@ -124,6 +139,9 @@ class FastDiffTask:
         if self._param_apply_fn is None:
             if self.denoiser_type == "wavenet":
                 from fastdiff_tpu.models.wavenet import get_apply_fn
+                cfg = self.model_cfg
+            elif self.denoiser_type == "pwg":
+                from fastdiff_tpu.models.pwg import get_apply_fn
                 cfg = self.model_cfg
             else:
                 from fastdiff_tpu.config import inference_model_config

@@ -84,8 +84,12 @@ def test_mulaw_roundtrip():
                                np.asarray(x), atol=1e-6)
     ids = mixture.mulaw_quantize(x)
     assert int(ids.min()) >= 0 and int(ids.max()) <= 255
+    # nnmnkwii-compatible TRUNCATING quantizer (no +0.5): the roundtrip
+    # carries up to a full companded bin of bias after expansion
     back = mixture.inv_mulaw_quantize(ids)
-    assert float(jnp.abs(back - x).max()) < 0.03
+    assert float(jnp.abs(back - x).max()) < 0.05
+    # quantizer center convention: silence maps to the AR seed id 127
+    assert int(mixture.mulaw_quantize(jnp.zeros(()))) == 127
 
 
 @requires_reference

@@ -8,8 +8,8 @@ coarse pitch (native YIN, fastdiff_tpu/ops/pitch.py), speaker-id maps, and
 the same split/record/IndexedDataset conventions as the vocoder path.
 
 Speaker *embeddings* (resemblyzer in the reference, base_binarizer.py:156-168)
-are gated: if a ``spk_embed`` extractor is not importable the flag errors out
-loudly instead of silently producing partial data.
+are computed natively by ``fastdiff_tpu.models.spk_encoder`` when
+``use_spk_embed`` is set (``with_spk_embed`` wiring in ``process_item`` below).
 """
 
 from __future__ import annotations

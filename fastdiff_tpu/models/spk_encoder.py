@@ -12,7 +12,7 @@ trained speaker-verification model is available; without one the network
 runs with a fixed seeded initialization. Untrained random-projection
 d-vectors still separate speakers usefully (they are random projections of
 speaker-dependent spectral statistics — same-speaker utterances embed
-closer than different-speaker ones; tested in tests/test_spk_encoder.py),
+closer than different-speaker ones; tested in tests/test_spk_and_cwt.py),
 so multi-speaker binarization/conditioning works end-to-end and upgrades
 transparently when a trained checkpoint is supplied.
 """

@@ -16,7 +16,7 @@ and outputs are trimmed back to ``frames * hop`` samples.
 
 from __future__ import annotations
 
-from typing import Callable, List
+from typing import Optional, Callable, List
 
 import jax
 import jax.numpy as jnp
@@ -29,7 +29,7 @@ from fastdiff_tpu.parallel import mesh as meshlib
 class BatchedVocoder:
     def __init__(self, denoise_fn: Callable, constants, hop_size: int,
                  mesh=None, frame_bucket: int = 128,
-                 max_batch: int = None):
+                 max_batch: Optional[int] = None):
         """denoise_fn(x, mel, t) -> eps; constants from
         sampler_constants_for_schedule.
 
@@ -43,18 +43,20 @@ class BatchedVocoder:
         self.hop = hop_size
         self.mesh = mesh or meshlib.make_mesh()
         self.frame_bucket = frame_bucket
-        self.max_batch = max_batch or self.mesh.shape.get("dp", 1)
+        self.max_batch = (max_batch if max_batch is not None
+                          else self.mesh.shape.get("dp", 1))
 
     @classmethod
     def from_sampler(cls, sampler: Callable, hop_size: int, mesh=None,
-                     frame_bucket: int = 128, max_batch: int = None):
+                     frame_bucket: int = 128, max_batch: Optional[int] = None):
         """Wrap an existing jitted ``sampler(key, mel, audio_length)``."""
         self = cls.__new__(cls)
         self.sampler = sampler
         self.hop = hop_size
         self.mesh = mesh or meshlib.make_mesh()
         self.frame_bucket = frame_bucket
-        self.max_batch = max_batch or self.mesh.shape.get("dp", 1)
+        self.max_batch = (max_batch if max_batch is not None
+                          else self.mesh.shape.get("dp", 1))
         return self
 
     def _bucket(self, frames: int) -> int:

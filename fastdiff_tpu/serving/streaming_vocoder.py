@@ -65,6 +65,32 @@ class StreamingVocoder:
         self._final_s = 0                            # finalized sample count
         self._finished = False
 
+    # -- latency accounting -----------------------------------------------
+    @property
+    def latency_frames(self) -> int:
+        """Worst-case finalization latency in mel frames: a sample is final
+        once the next chunk cannot touch it -> (core + halo) frames behind
+        the newest fed frame."""
+        return self.core + self.halo
+
+    def latency_seconds(self, sample_rate: int) -> float:
+        return self.latency_frames * self.hop / sample_rate
+
+    @classmethod
+    def low_latency(cls, sampler: Callable, hop_size: int,
+                    key: Optional[jax.Array] = None) -> "StreamingVocoder":
+        """Sub-500 ms finalization preset: chunk 48 / halo 8 -> latency
+        (32 + 8) frames = 464 ms at hop 256 / 22.05 kHz.
+
+        The halo is half the conservative receptive-field default
+        (chunked_vocoder.DEFAULT_HALO_FRAMES = 16), so chunk seams lose
+        some long-context conditioning — the measured quality delta vs the
+        batch path is published in docs/PERF.md (scripts/
+        streaming_latency_curve.py); correctness invariants are unchanged.
+        """
+        return cls(sampler, hop_size, chunk_frames=48, halo_frames=8,
+                   key=key)
+
     # -- internals -----------------------------------------------------------
     def _chunk_key(self, idx: int) -> jax.Array:
         return jax.random.fold_in(self.key, idx)

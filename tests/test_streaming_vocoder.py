@@ -85,3 +85,26 @@ def test_short_stream():
     out = np.concatenate([voc.feed(mel), voc.finish()])
     assert out.shape == (10 * HOP,)
     assert np.all(np.isfinite(out))
+
+
+def test_low_latency_preset_invariants():
+    """The <500 ms preset keeps the granularity-invariance guarantee and
+    reports its latency bound correctly."""
+    rng = np.random.default_rng(2)
+    mel = rng.standard_normal((150, 6)).astype(np.float32)
+    key = jax.random.PRNGKey(9)
+
+    def fresh():
+        return StreamingVocoder(_noisy_sampler, HOP, chunk_frames=48,
+                                halo_frames=8, key=key)
+
+    voc = fresh()
+    assert voc.latency_frames == 40          # core 32 + halo 8
+    # at the production hop/sr this is the documented sub-500 ms bound
+    prod = StreamingVocoder.low_latency(_noisy_sampler, 256, key=key)
+    assert prod.latency_seconds(22050) < 0.5
+
+    one_shot = _stream(fresh(), mel, [150])
+    frame_by_frame = _stream(fresh(), mel, [1] * 150)
+    assert one_shot.shape == (150 * HOP,)
+    np.testing.assert_array_equal(one_shot, frame_by_frame)

@@ -24,8 +24,9 @@ sum rides the same executable stream (in-order device execution), so the
 per-call figure reflects device compute.
 
 Both the fused-megakernel and pure-XLA paths are timed; the better one is
-reported (the flag `use_pallas_block: auto` resolves the production path
-the same way).
+reported. (The production `use_pallas_block: auto` policy is currently
+PINNED to the XLA path on round-2 measurements — docs/PERF.md; if the
+megakernel ever measures faster here, flip the policy on that data.)
 """
 
 import json

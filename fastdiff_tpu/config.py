@@ -29,7 +29,6 @@ class ModelConfig:
     diffusion_step_embed_dim_mid: int = 512
     diffusion_step_embed_dim_out: int = 512
     use_weight_norm: bool = True
-    use_pallas_lvc: bool = False
     use_pallas_block: bool = False  # whole-LVC-block megakernel (TPU only)
     use_pallas_down: bool = False   # fused down-path kernel (TPU only)
     compute_dtype: str = "bfloat16"
@@ -69,7 +68,6 @@ class ModelConfig:
             diffusion_step_embed_dim_mid=int(hp.get("diffusion_step_embed_dim_mid", 512)),
             diffusion_step_embed_dim_out=int(hp.get("diffusion_step_embed_dim_out", 512)),
             use_weight_norm=bool(hp.get("use_weight_norm", True)),
-            use_pallas_lvc=bool(hp.get("use_pallas_lvc", False)),
             # 'auto' resolves at the *inference* entry points (see
             # resolve_pallas_block); training keeps the XLA path
             use_pallas_block=(hp.get("use_pallas_block", False) is True),

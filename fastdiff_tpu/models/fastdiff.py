@@ -33,11 +33,6 @@ from fastdiff_tpu.ops import nn as fnn
 from fastdiff_tpu.ops.lvc import lvc_gated_residual
 
 
-def _use_pallas(cfg: ModelConfig) -> bool:
-    """Fused Pallas LVC only on TPU backends (and when enabled in config)."""
-    return cfg.use_pallas_lvc and jax.default_backend() not in ("cpu", "gpu")
-
-
 _APPLY_FNS: dict = {}
 
 
@@ -345,18 +340,14 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
         return lvc_block_fused_aug(x, skip, kern_aug, wstack, hop,
                                    jax.default_backend() == "cpu")
 
-    if _use_pallas(cfg):
-        from fastdiff_tpu.ops.lvc_pallas import lvc_gated_pallas as lvc_fn
-    else:
-        lvc_fn = lvc_gated_residual
     for i in range(cfg.lvc_layers_each_block):
         x = x + skip
         y = fnn.leaky_relu(x, 0.2)
         y = fnn.conv1d(p["convs"][i], y, dilation=3 ** i, compute_dtype=dtype,
                        impl=cfg.conv_impl)
         y = fnn.leaky_relu(y, 0.2)
-        x = lvc_fn(x, y, kernels[:, :, i].astype(dtype),
-                   biases[:, :, i].astype(jnp.float32), hop)
+        x = lvc_gated_residual(x, y, kernels[:, :, i].astype(dtype),
+                               biases[:, :, i].astype(jnp.float32), hop)
     return x
 
 

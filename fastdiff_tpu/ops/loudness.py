@@ -115,7 +115,11 @@ def trim_long_silences(wav: np.ndarray, sr: int,
     # moving-average smoothing (reference width 8), then binary dilation
     kernel = np.ones(moving_average_width) / moving_average_width
     voiced = np.convolve(voiced.astype(np.float32), kernel, "same") > 0.5
-    # keep silences up to max_silence_frames
+    # keep silences up to max_silence_frames, split across BOTH ends of the
+    # run (the reference dilates the voiced mask symmetrically,
+    # data_gen_utils.py:27-90, so silence adjoining a voiced onset survives;
+    # keeping only the leading frames would clip pre-onset silence and shift
+    # alignment relative to reference preprocessing)
     keep = voiced.copy()
     run_start = None
     for i in range(n_frames + 1):
@@ -126,7 +130,10 @@ def trim_long_silences(wav: np.ndarray, sr: int,
             if i - run_start <= max_silence_frames:
                 keep[run_start:i] = True
             else:
-                keep[run_start:run_start + max_silence_frames] = True
+                head = max_silence_frames - max_silence_frames // 2
+                tail = max_silence_frames // 2
+                keep[run_start:run_start + head] = True
+                keep[i - tail:i] = True
             run_start = None
     mask = np.repeat(keep, spw)
     tail = wav[n_frames * spw:]

@@ -14,9 +14,10 @@ TPU-native formulation: instead of the reference's double-``unfold`` +
 6-operand einsum, the op is expressed as ONE batched matmul per (batch,
 frame): a (hop, K*Cin) window matrix times a (K*Cin, Cout) per-frame kernel.
 XLA lowers this einsum to a batched ``dot_general`` on the MXU; the window
-construction is K static shifted slices (no gathers). A fused Pallas kernel
-(`fastdiff_tpu/ops/lvc_pallas.py`) additionally folds bias + gated tanh/sigmoid
-activation + residual into the matmul epilogue.
+construction is K static shifted slices (no gathers). A whole-block fused Pallas
+kernel (`fastdiff_tpu/ops/lvc_block_pallas.py`) additionally folds bias +
+gated tanh/sigmoid activation + residual into the matmul epilogue (kept
+flag-gated OFF: the XLA path measures faster at C=32 — docs/PERF.md).
 """
 
 from __future__ import annotations

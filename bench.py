@@ -23,10 +23,10 @@ The single fetch RTT (~10 ms) is amortized over n=16 calls and the scalar
 sum rides the same executable stream (in-order device execution), so the
 per-call figure reflects device compute.
 
-Both the fused-megakernel and pure-XLA paths are timed; the better one is
-reported. (The production `use_pallas_block: auto` policy is currently
-PINNED to the XLA path on round-2 measurements — docs/PERF.md; if the
-megakernel ever measures faster here, flip the policy on that data.)
+Both the NCL megakernel (the `use_pallas_block: auto` production path
+since round 3 — ops/lvc_block_ncl, hardware-trace-validated 5.1x/4.4x
+faster inner loops) and the pure-XLA path are timed; the better one is
+reported, and a mismatch with the auto policy is a signal to re-pin it.
 """
 
 import json
@@ -121,8 +121,9 @@ def main():
 
     candidates = {"xla": cfg_xla}
     if on_tpu:
-        candidates["pallas_block"] = dataclasses.replace(
-            cfg_xla, use_pallas_block=True)
+        # 'auto' production path (round 3): NCL time-in-lanes megakernel
+        candidates["pallas_ncl"] = dataclasses.replace(
+            cfg_xla, use_pallas_block="ncl")
     times = {name: measure(cfg) for name, cfg in candidates.items()}
     best_name = min(times, key=times.get)
     dt = times[best_name]

@@ -29,7 +29,7 @@ class ModelConfig:
     diffusion_step_embed_dim_mid: int = 512
     diffusion_step_embed_dim_out: int = 512
     use_weight_norm: bool = True
-    use_pallas_block: bool = False  # whole-LVC-block megakernel (TPU only)
+    use_pallas_block: object = False  # False | True (r2 NWC kernel) | "ncl"
     use_pallas_down: bool = False   # fused down-path kernel (TPU only)
     compute_dtype: str = "bfloat16"
     conv_impl: str = "dot"          # "dot" (shifted matmuls; 2x faster
@@ -70,30 +70,37 @@ class ModelConfig:
             use_weight_norm=bool(hp.get("use_weight_norm", True)),
             # 'auto' resolves at the *inference* entry points (see
             # resolve_pallas_block); training keeps the XLA path
-            use_pallas_block=(hp.get("use_pallas_block", False) is True),
+            use_pallas_block=(hp["use_pallas_block"]
+                              if hp.get("use_pallas_block") in (True, "ncl")
+                              else False),
             use_pallas_down=(hp.get("use_pallas_down", False) is True),
             compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
             conv_impl=str(hp.get("conv_impl", "dot")),
         )
 
 
-def resolve_pallas_block(hp: dict) -> bool:
-    """Inference-time policy for the whole-block Pallas megakernel.
+def resolve_pallas_block(hp: dict):
+    """Inference-time policy for the whole-block fused kernels.
 
-    ``use_pallas_block: auto`` (the config default) currently means OFF
-    everywhere: forced-completion timing (bench.py methodology; the relay's
-    block_until_ready can ACK before execution finishes, so earlier "1.9x"
-    readings were artifacts) measures the fused kernel ~1.8x SLOWER than the
-    shifted-matmul XLA path at the default config (42 vs 23.5 ms per 10 s
-    utterance at N=4). Explicit true/false wins, so the kernel stays one
-    flag away while it is being optimized. Training always uses the XLA
-    path regardless (the fused kernel's VJP recomputes through XLA anyway).
+    Returns False (XLA path), True (legacy round-2 NWC megakernel,
+    ops/lvc_block_pallas) or "ncl" (round-3 time-in-lanes megakernel,
+    ops/lvc_block_ncl).
+
+    ``use_pallas_block: auto`` (the config default) resolves to **"ncl"**:
+    hardware-trace A/B at the bench shapes (round 3, docs/PERF.md) measures
+    the NCL kernel 5.1x faster than the XLA inner loop on the hop-256
+    block (1.62 -> 0.32 ms) and 4.4x on hop-64 (0.52 -> 0.12 ms); the
+    round-2 NWC kernel remains slower than XLA (its in-kernel (E, 32)
+    tensors are lane-padded 4x) and is kept only for A/B. Explicit
+    true/false/ncl wins. Training always uses the XLA path regardless
+    (both kernels' VJPs recompute through XLA anyway).
     """
     raw = hp.get("use_pallas_block", "auto")
     if isinstance(raw, str):
-        if raw.strip().lower() in ("auto", ""):
-            return False
-        return raw.strip().lower() in ("1", "true", "yes", "on")
+        low = raw.strip().lower()
+        if low in ("auto", "", "ncl"):
+            return "ncl"
+        return low in ("1", "true", "yes", "on")
     return bool(raw)
 
 

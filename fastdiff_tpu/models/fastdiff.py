@@ -315,6 +315,7 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
                                                        lvc_block_fused_aug,
                                                        stack_conv_weights)
         use_fused = fusable(hop, mel.shape[1])
+    ncl = cfg.use_pallas_block == "ncl"
     if use_fused:
         # zero-prep megakernel path: the predictor emits the augmented
         # operand directly (no kernels/biases intermediates)
@@ -337,8 +338,14 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
             [fnn.conv_weight(cv) for cv in p["convs"]],
             [cv["b"] for cv in p["convs"]], dtype=dtype)
         # interpret mode keeps the integration path testable on CPU
-        return lvc_block_fused_aug(x, skip, kern_aug, wstack, hop,
-                                   jax.default_backend() == "cpu")
+        interp = jax.default_backend() == "cpu"
+        if ncl:
+            # round-3 time-in-lanes kernel: 5.1x/4.4x faster than the XLA
+            # inner loop at hop 256/64 (hardware-trace A/B, docs/PERF.md)
+            from fastdiff_tpu.ops.lvc_block_ncl import lvc_block_ncl_from_nwc
+            return lvc_block_ncl_from_nwc(x, skip, kern_aug, wstack, hop,
+                                          interp)
+        return lvc_block_fused_aug(x, skip, kern_aug, wstack, hop, interp)
 
     for i in range(cfg.lvc_layers_each_block):
         x = x + skip

@@ -1,0 +1,301 @@
+"""Whole-LVC-block fused Pallas kernel, NCL (time-in-lanes) formulation.
+
+Round-3 successor to ``ops/lvc_block_pallas.py`` (the round-2 NWC
+megakernel).  Motivation, from the b=1 device trace + compiled-HLO audit
+(scripts/exp_trace_sampler.py, scripts/exp_layout.py): ~40% of sampler
+device time is relayout copies/reshapes around the LVC einsum boundaries —
+XLA lays the big activations time-in-lanes ({1,2,0}) for full-lane
+elementwise, while the NWC batched dots demand channel-minor operands, so
+every layer round-trips layouts (~1.2 GB logical copy traffic per forward).
+The round-2 NWC kernel killed the HBM round trips but paid an equivalent
+in-kernel tax: at (E, 32) shapes every Mosaic VPU pass is lane-padded
+128/32 = 4x physical bytes (docs/PERF.md "fused-kernel status").
+
+This kernel transposes the world instead: in-kernel tensors are
+``(channels, time)`` with TIME IN LANES —
+
+- every elementwise op (leaky, gates, masks, residual) runs at full 128
+  lanes with physical bytes == logical bytes;
+- tap construction is lane-rolls of (32, E) arrays (f32-routed: Mosaic
+  rotate is 32-bit only) — ~4x cheaper physically than the NWC kernel's
+  (E, 128-padded) rolls;
+- the dilated conv is ``w_aug (C, 3C+1) @ tap (3C+1, E)`` — one MXU dot
+  with N = time = lanes;
+- the per-frame LVC is an unrolled loop of ``kern_f (2C, 3C+1) @
+  win (3C+1, hop)`` dots over aligned lane slices (hop = 256 = 2 lane
+  tiles), no window tensor ever materialized;
+- gate channels are SUBLANE slices (z[:C], z[C:]) — free, no relayout;
+- bias rides the augmented contraction (ones row in the tap, bias column
+  in the kernel operand), as in the round-2 kernel.
+
+Same loop semantics as the XLA path (models/fastdiff.py:_lvc_block_apply,
+reference modules/FastDiff/module/modules.py:208-217) with bit-exact edge
+handling via validity masks.  Halos via shifted BlockSpec index maps over
+the original arrays (nothing pre-materialized in HBM).
+
+Interface is the transposed twin of ``lvc_block_fused_aug``:
+
+    lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop)
+      x, skip:    (B, C, L)          bf16, time-minor
+      kern_taug:  (B, F, layers, 2C, 3C+1)  bf16 (bias in last column)
+      wstack_t:   (layers, C, 3C+1)  bf16 (conv bias in last column)
+      -> (B, C, L)
+
+``from_nwc``/``to_nwc`` helpers adapt the production NWC world for A/B
+testing; the fast path is to emit kern_taug straight from the predictor
+head and keep up-path activations NCL.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MIN_FUSED_HOP = 64
+_MIN_HALO = 48
+
+
+def aug_rows(c: int, k: int = 3) -> int:
+    return k * c + 1
+
+
+def _leaky(x, slope=0.2):
+    return jnp.maximum(x, x * slope)
+
+
+def _roll_lanes(arr, shift):
+    """Circular shift along the lane (time) axis; Mosaic rotate is 32-bit
+    only, so bf16 routes through f32.  At (C, E) shapes this is a
+    full-lane pass: physical bytes == logical bytes."""
+    n = arr.shape[-1]
+    if arr.dtype == jnp.float32:
+        return pltpu.roll(arr, shift % n, 1)
+    return pltpu.roll(arr.astype(jnp.float32), shift % n, 1).astype(arr.dtype)
+
+
+def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
+                 *, hop: int, layers: int, c: int, length: int,
+                 tile_s: int, halo: int):
+    ext_e = tile_s + 2 * halo
+    fe = ext_e // hop
+    ti = pl.program_id(1)
+
+    carry = jnp.concatenate([lhx[0], xc[0], rhx[0]], axis=1)      # (C, E)
+    skip = jnp.concatenate([lhs[0], skc[0], rhs[0]], axis=1)      # (C, E)
+    kern = jnp.concatenate([lhk[0], kc[0], rhk[0]], axis=0)       # (Fe,l,2C,R)
+
+    gpos = (jax.lax.broadcasted_iota(jnp.int32, (1, ext_e), 1)
+            + ti * tile_s - halo)
+    valid = jnp.logical_and(gpos >= 0, gpos < length)             # (1, E)
+    ones = jnp.ones((1, ext_e), carry.dtype)
+
+    for i in range(layers):
+        d = 3 ** i
+        s = carry + skip
+        s = jnp.where(valid, s, jnp.zeros_like(s))
+        y = _leaky(s)
+        tap = jnp.concatenate(
+            [_roll_lanes(y, d), y, _roll_lanes(y, -d), ones], axis=0)
+        y = jax.lax.dot_general(
+            wstack[i], tap, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)                   # (C, E)
+        y = _leaky(y).astype(carry.dtype)
+        y = jnp.where(valid, y, jnp.zeros_like(y))
+
+        tap = jnp.concatenate(
+            [_roll_lanes(y, 1), y, _roll_lanes(y, -1), ones], axis=0)
+        zs = []
+        for f in range(fe):
+            win = jax.lax.slice_in_dim(tap, f * hop, (f + 1) * hop, axis=1)
+            zs.append(jax.lax.dot_general(
+                kern[f, i], win, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))              # (2C, hop)
+        z = jnp.concatenate(zs, axis=1)                           # (2C, E)
+        gate = jax.nn.sigmoid(z[:c]) * jnp.tanh(z[c:])
+        carry = s + gate.astype(s.dtype)
+
+    out_ref[0] = carry[:, halo: halo + tile_s]
+
+
+def _pick_tile_frames(n_frames: int, hop: int) -> int:
+    target = max(1, 8192 // hop)
+    divisors = [tf for tf in range(1, n_frames + 1) if n_frames % tf == 0]
+    return min(divisors, key=lambda tf: abs(tf - target))
+
+
+def fusable(hop: int, n_frames: int) -> bool:
+    return hop >= _MIN_FUSED_HOP and n_frames >= 2
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "interpret",
+                                             "tile_frames"))
+def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
+                      interpret: bool = False,
+                      tile_frames: int | None = None):
+    b, c, length = x.shape
+    _, frames, layers, c2, rows = kern_taug.shape
+    assert length == frames * hop, (length, frames, hop)
+    assert rows == aug_rows(c) and c2 == 2 * c, (rows, c2, c)
+
+    tf = tile_frames if tile_frames else _pick_tile_frames(frames, hop)
+    n_tiles = frames // tf
+    tile_s = tf * hop
+    # halo: >= receptive field (_MIN_HALO), frame-aligned, AND a multiple of
+    # 128 — Mosaic requires lane-dim block sizes divisible by 128
+    halo = max(hop, _MIN_HALO, 128)
+    while halo % 128 or halo % hop:
+        halo += hop
+    hf = halo // hop
+    if tf % hf or (tf * hop) % halo:
+        # tile must be a whole number of halo units for the shifted maps
+        divisors = [t for t in range(hf, frames + 1, hf)
+                    if frames % t == 0 and (t * hop) % halo == 0]
+        tf = min(divisors, key=lambda t: abs(t - tf))
+        n_tiles = frames // tf
+        tile_s = tf * hop
+    r = tile_s // halo
+    rk = tf // hf
+    n_halo_x = length // halo
+    n_halo_k = frames // hf
+    grid = (b, n_tiles)
+
+    x_spec = pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
+                          memory_space=pltpu.VMEM)
+
+    def x_halo(side):
+        def imap(bi, ti):
+            if side == "l":
+                return (bi, 0, jnp.maximum(ti * r - 1, 0))
+            return (bi, 0, jnp.minimum(ti * r + r, n_halo_x - 1))
+        return pl.BlockSpec((1, c, halo), imap, memory_space=pltpu.VMEM)
+
+    k_spec = pl.BlockSpec((1, tf, layers, c2, rows),
+                          lambda bi, ti: (bi, ti, 0, 0, 0),
+                          memory_space=pltpu.VMEM)
+
+    def k_halo(side):
+        def imap(bi, ti):
+            if side == "l":
+                return (bi, jnp.maximum(ti * rk - 1, 0), 0, 0, 0)
+            return (bi, jnp.minimum(ti * rk + rk, n_halo_k - 1), 0, 0, 0)
+        return pl.BlockSpec((1, hf, layers, c2, rows), imap,
+                            memory_space=pltpu.VMEM)
+
+    wspec = pl.BlockSpec((layers, c, rows), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_body, hop=hop, layers=layers, c=c,
+                          length=length, tile_s=tile_s, halo=halo),
+        grid=grid,
+        in_specs=[x_spec, x_halo("l"), x_halo("r"),
+                  x_spec, x_halo("l"), x_halo("r"),
+                  k_spec, k_halo("l"), k_halo("r"), wspec],
+        out_specs=pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, c, length), x.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )(x, x, x, skip, skip, skip, kern_taug, kern_taug, kern_taug, wstack_t)
+
+
+# ---------------------------------------------------------------------------
+# NWC-world adapters (the model integration path)
+# ---------------------------------------------------------------------------
+
+def kern_taug_from_aug(kern_aug: jnp.ndarray) -> jnp.ndarray:
+    """(B, F, layers, 3C+1, 2C) -> (B, F, layers, 2C, 3C+1)."""
+    return jnp.swapaxes(kern_aug, -1, -2)
+
+
+def wstack_t_from(wstack: jnp.ndarray) -> jnp.ndarray:
+    """(layers, 3C+1, C) -> (layers, C, 3C+1)."""
+    return jnp.swapaxes(wstack, -1, -2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lvc_block_ncl_from_nwc(x, skip, kern_aug, wstack, hop: int,
+                           interpret: bool = False):
+    """Drop-in twin of ``lvc_block_fused_aug`` taking NWC (B, L, C) inputs:
+    transposes at entry/exit (hardware-trace cost ~0.04 ms each at the
+    bench shape, against the ~1.3 ms the kernel saves on block 2).
+    Backward recomputes through the unfused XLA path (same contract as the
+    round-2 kernel's VJP)."""
+    xt = jnp.swapaxes(x, 1, 2)
+    st = jnp.swapaxes(skip, 1, 2)
+    out = lvc_block_ncl_aug(xt, st,
+                            kern_taug_from_aug(kern_aug).astype(x.dtype),
+                            wstack_t_from(wstack).astype(x.dtype), hop,
+                            interpret=interpret)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _unfused_from_aug(x, skip, kern_aug, wstack, hop):
+    from fastdiff_tpu.ops.lvc_block_pallas import (_unfused_reference,
+                                                   split_aug_kernels)
+    kernels, biases = split_aug_kernels(kern_aug)
+    c = x.shape[-1]
+    conv_ws = wstack[:, : 3 * c].reshape(wstack.shape[0], 3, c, c)
+    conv_bs = wstack[:, 3 * c]
+    return _unfused_reference(x, skip, kernels, biases.astype(jnp.float32),
+                              conv_ws, conv_bs.astype(jnp.float32), hop)
+
+
+def _nwc_fwd(x, skip, kern_aug, wstack, hop, interpret):
+    out = lvc_block_ncl_from_nwc(x, skip, kern_aug, wstack, hop, interpret)
+    return out, (x, skip, kern_aug, wstack)
+
+
+def _nwc_bwd(hop, interpret, residuals, g):
+    x, skip, kern_aug, wstack = residuals
+    _, vjp = jax.vjp(lambda *args: _unfused_from_aug(*args, hop),
+                     x, skip, kern_aug, wstack)
+    return vjp(g)
+
+
+lvc_block_ncl_from_nwc.defvjp(_nwc_fwd, _nwc_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def lvc_block_ncl(x, skip, kernels, biases, conv_ws, conv_bs, hop: int,
+                  interpret: bool = False):
+    """Natural-layout entry: x, skip (B, L, C); kernels
+    (B, F, layers, K, C, 2C); biases (B, F, layers, 2C); conv_ws
+    (layers, K, C, C); conv_bs (layers, C).  Backward recomputes unfused."""
+    b, f = kernels.shape[:2]
+    layers = kernels.shape[2]
+    c = x.shape[-1]
+    kflat = kernels.astype(x.dtype).reshape(b, f, layers, 3 * c, 2 * c)
+    kern_aug = jnp.concatenate(
+        [kflat, biases.astype(x.dtype)[..., None, :]], axis=3)
+    ws = jnp.stack([w.reshape(-1, w.shape[-1]) for w in conv_ws])
+    wstack = jnp.concatenate(
+        [ws, jnp.stack(list(conv_bs))[:, None, :]], axis=1).astype(x.dtype)
+    xt = jnp.swapaxes(x, 1, 2)
+    st = jnp.swapaxes(skip, 1, 2)
+    out = lvc_block_ncl_aug(xt, st, kern_taug_from_aug(kern_aug),
+                            wstack_t_from(wstack), hop, interpret=interpret)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _nat_fwd(x, skip, kernels, biases, conv_ws, conv_bs, hop, interpret):
+    out = lvc_block_ncl(x, skip, kernels, biases, conv_ws, conv_bs, hop,
+                        interpret)
+    return out, (x, skip, kernels, biases, conv_ws, conv_bs)
+
+
+def _nat_bwd(hop, interpret, residuals, g):
+    from fastdiff_tpu.ops.lvc_block_pallas import _unfused_reference
+    x, skip, kernels, biases, conv_ws, conv_bs = residuals
+    _, vjp = jax.vjp(
+        lambda *args: _unfused_reference(*args, hop), x, skip, kernels,
+        biases, conv_ws, conv_bs)
+    return vjp(g)
+
+
+lvc_block_ncl.defvjp(_nat_fwd, _nat_bwd)

@@ -1,0 +1,132 @@
+"""NCL (time-in-lanes) whole-LVC-block kernel: parity, edges, gradients.
+
+Interpret mode on the CPU test platform; on TPU the same code path compiles
+under Mosaic (policy: config.resolve_pallas_block -> 'ncl' routes
+models/fastdiff.py:_lvc_block_apply here).  Hardware-trace A/B at the bench
+shapes (docs/PERF.md round 3): block2 1.62 -> 0.32 ms, block1 0.52 ->
+0.12 ms vs the XLA path.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fastdiff_tpu.ops.lvc_block_pallas import (_unfused_reference,
+                                               augment_lvc_kernels,
+                                               stack_conv_weights)
+from fastdiff_tpu.ops.lvc_block_ncl import (fusable, lvc_block_ncl,
+                                            lvc_block_ncl_from_nwc)
+
+LAYERS = 4
+
+
+def _case(b, f, hop, c=32, seed=0, dtype=jnp.float32):
+    rng = np.random.default_rng(seed)
+    L = f * hop
+    return dict(
+        x=jnp.asarray(rng.normal(size=(b, L, c)), dtype),
+        skip=jnp.asarray(rng.normal(size=(b, L, c)), dtype),
+        kernels=jnp.asarray(
+            rng.normal(size=(b, f, LAYERS, 3, c, 2 * c)) * 0.1, dtype),
+        biases=jnp.asarray(rng.normal(size=(b, f, LAYERS, 2 * c)) * 0.1,
+                           jnp.float32),
+        conv_ws=jnp.asarray(rng.normal(size=(LAYERS, 3, c, c)) * 0.1, dtype),
+        conv_bs=jnp.asarray(rng.normal(size=(LAYERS, c)) * 0.1, jnp.float32),
+    )
+
+
+def _ref(kw, hop):
+    return _unfused_reference(kw["x"], kw["skip"], kw["kernels"],
+                              kw["biases"], kw["conv_ws"], kw["conv_bs"], hop)
+
+
+def _run(kw, hop):
+    return lvc_block_ncl(kw["x"], kw["skip"], kw["kernels"], kw["biases"],
+                         kw["conv_ws"], kw["conv_bs"], hop, True)
+
+
+@pytest.mark.parametrize("b,f,hop", [
+    (1, 64, 64),     # multi-tile at hop 64 (128-sample halo = 2 frames)
+    (2, 8, 256),     # hop 256, batch dim in the grid
+    (1, 100, 256),   # training crop shape (non-power-of-two tiling)
+])
+def test_ncl_matches_unfused(b, f, hop):
+    kw = _case(b, f, hop)
+    np.testing.assert_allclose(np.asarray(_run(kw, hop)),
+                               np.asarray(_ref(kw, hop)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_sequence_edges_match():
+    kw = _case(1, 16, 64, seed=3)
+    ref = _ref(kw, 64)
+    out = _run(kw, 64)
+    edge = 64
+    np.testing.assert_allclose(np.asarray(out)[:, :edge],
+                               np.asarray(ref)[:, :edge], rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out)[:, -edge:],
+                               np.asarray(ref)[:, -edge:], rtol=2e-5, atol=2e-5)
+
+
+def test_gradients_match_unfused():
+    kw = _case(1, 8, 64, seed=1)
+
+    def loss_fused(x, kernels):
+        out = lvc_block_ncl(x, kw["skip"], kernels, kw["biases"],
+                            kw["conv_ws"], kw["conv_bs"], 64, True)
+        return jnp.sum(out ** 2)
+
+    def loss_ref(x, kernels):
+        out = _unfused_reference(x, kw["skip"], kernels, kw["biases"],
+                                 kw["conv_ws"], kw["conv_bs"], 64)
+        return jnp.sum(out ** 2)
+
+    gx_f, gk_f = jax.grad(loss_fused, argnums=(0, 1))(kw["x"], kw["kernels"])
+    gx_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(kw["x"], kw["kernels"])
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gk_f), np.asarray(gk_r),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_from_nwc_adapter():
+    kw = _case(1, 8, 256, seed=2)
+    kern_aug = augment_lvc_kernels(kw["kernels"], kw["biases"].astype(
+        kw["x"].dtype))
+    wstack = stack_conv_weights([w for w in kw["conv_ws"]],
+                                [b for b in kw["conv_bs"]],
+                                dtype=kw["x"].dtype)
+    out = lvc_block_ncl_from_nwc(kw["x"], kw["skip"], kern_aug, wstack, 256,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(_ref(kw, 256)),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_fusable_gating():
+    assert fusable(256, 864) and fusable(64, 16)
+    assert not fusable(8, 864)       # hop-8 block stays on the XLA path
+    assert not fusable(256, 1)
+
+
+def test_model_integration_ncl():
+    """use_pallas_block='ncl' routes the up path through the kernel and
+    matches the XLA path at model level."""
+    from fastdiff_tpu.config import ModelConfig
+    from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+
+    cfg = ModelConfig(inner_channels=32, cond_channels=80,
+                      upsample_ratios=(8, 8, 4), compute_dtype="float32")
+    params = init_fastdiff(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    frames = 8
+    audio = jnp.asarray(rng.normal(size=(1, frames * 256, 1)), jnp.float32)
+    mel = jnp.asarray(rng.normal(size=(1, frames, 80)), jnp.float32)
+    t = jnp.full((1, 1), 37.4, jnp.float32)
+    ref = fastdiff_apply(params, audio, mel, t, cfg)
+    cfg_ncl = ModelConfig(inner_channels=32, cond_channels=80,
+                          upsample_ratios=(8, 8, 4), compute_dtype="float32",
+                          use_pallas_block="ncl")
+    out = fastdiff_apply(params, audio, mel, t, cfg_ncl)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)

@@ -286,6 +286,52 @@ def _kernel_predictor_apply_aug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     return ka.reshape(b, frames, layers, rows, cout)
 
 
+def _kernel_predictor_apply_taug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
+                                 dtype) -> jnp.ndarray:
+    """cond (B, T', cond_ch) -> TRANSPOSED augmented LVC operand
+    (B, T', layers, 2Cin, K*Cin+1) for the NCL time-in-lanes megakernel.
+
+    Same trace-time head merge as _kernel_predictor_apply_aug, but the
+    merged conv's output channels are ordered (layers, 2Cin, rows) — the
+    reshape to the NCL kernel's ``kern_taug`` operand is then byte-exact,
+    so the kern_aug→kern_taug swapaxes relayout of the model's largest
+    activation (~1.45 ms per block call, xplane-traced) never exists."""
+    cin = cfg.inner_channels
+    cout = 2 * cfg.inner_channels
+    layers = cfg.lvc_layers_each_block
+    k = cfg.lvc_kernel_size
+    rows = k * cin + 1
+
+    kw = fnn.conv_weight(p["kernel_conv"])       # (ksz, hid, layers*K*Cin*2Cin)
+    bw = fnn.conv_weight(p["bias_conv"])         # (ksz, hid, layers*2Cin)
+    ksz, hid, _ = kw.shape
+    aw = jnp.concatenate(
+        [kw.reshape(ksz, hid, layers, k * cin, cout),
+         bw.reshape(ksz, hid, layers, 1, cout)], axis=3)
+    aug_w = jnp.swapaxes(aw, 3, 4).reshape(ksz, hid, layers * cout * rows)
+    ab = jnp.concatenate(
+        [p["kernel_conv"]["b"].reshape(layers, k * cin, cout),
+         p["bias_conv"]["b"].reshape(layers, 1, cout)], axis=1)
+    aug_b = jnp.swapaxes(ab, 1, 2).reshape(-1)
+
+    c = _kp_trunk(p, cond, cfg, dtype)
+    b, frames, _ = c.shape
+    backend = jax.default_backend()
+    if backend == "gpu":
+        ka = fnn.conv1d({"w": aug_w, "b": aug_b}, c, compute_dtype=dtype,
+                        impl=cfg.conv_impl)
+    else:
+        from fastdiff_tpu.ops.lvc_block_pallas import aug_head_matmul
+        pad = (ksz - 1) // 2
+        cp = jnp.pad(c.astype(dtype), ((0, 0), (pad, pad), (0, 0)))
+        taps = [jax.lax.slice_in_dim(cp, t, t + frames, axis=1)
+                for t in range(ksz)]
+        tap_c = jnp.concatenate(taps, axis=-1).reshape(b * frames, ksz * hid)
+        ka = aug_head_matmul(tap_c, aug_w.reshape(ksz * hid, -1).astype(dtype),
+                             aug_b, interpret=(backend == "cpu"))
+    return ka.reshape(b, frames, layers, cout, rows)
+
+
 def _dblock_apply(p: dict, x: jnp.ndarray, factor: int, dtype, impl="lax") -> jnp.ndarray:
     """DiffusionDBlock: nearest-downsample + 3 dilated convs + 1x1 residual
     (reference: modules.py:127-138)."""
@@ -318,9 +364,14 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     ncl = cfg.use_pallas_block == "ncl"
     if use_fused:
         # zero-prep megakernel path: the predictor emits the augmented
-        # operand directly (no kernels/biases intermediates)
-        kern_aug = _kernel_predictor_apply_aug(
-            p["kernel_predictor"], cond, cfg, dtype)
+        # operand directly (no kernels/biases intermediates); for the NCL
+        # kernel it is emitted ALREADY TRANSPOSED (kern_taug layout)
+        if ncl:
+            kern_taug = _kernel_predictor_apply_taug(
+                p["kernel_predictor"], cond, cfg, dtype)
+        else:
+            kern_aug = _kernel_predictor_apply_aug(
+                p["kernel_predictor"], cond, cfg, dtype)
     else:
         kernels, biases = _kernel_predictor_apply(
             p["kernel_predictor"], cond, cfg, dtype)
@@ -341,9 +392,10 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
         interp = jax.default_backend() == "cpu"
         if ncl:
             # round-3 time-in-lanes kernel: 5.1x/4.4x faster than the XLA
-            # inner loop at hop 256/64 (hardware-trace A/B, docs/PERF.md)
-            from fastdiff_tpu.ops.lvc_block_ncl import lvc_block_ncl_from_nwc
-            return lvc_block_ncl_from_nwc(x, skip, kern_aug, wstack, hop,
+            # inner loop at hop 256/64 (hardware-trace A/B, docs/PERF.md);
+            # the head feeds it the transposed operand directly
+            from fastdiff_tpu.ops.lvc_block_ncl import lvc_block_ncl_nwc_taug
+            return lvc_block_ncl_nwc_taug(x, skip, kern_taug, wstack, hop,
                                           interp)
         return lvc_block_fused_aug(x, skip, kern_aug, wstack, hop, interp)
 

@@ -87,6 +87,11 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
     carry = jnp.concatenate([lhx[0], xc[0], rhx[0]], axis=1)      # (C, E)
     skip = jnp.concatenate([lhs[0], skc[0], rhs[0]], axis=1)      # (C, E)
     kern = jnp.concatenate([lhk[0], kc[0], rhk[0]], axis=0)       # (Fe,l,2C,R)
+    rows = aug_rows(c)
+    if kern.shape[-1] != rows:
+        # 128-row padded operand (the head emits it byte-exactly, no
+        # relayout); the tail rows are zeros — slice back to 3C+1
+        kern = kern[..., :rows]
 
     gpos = (jax.lax.broadcasted_iota(jnp.int32, (1, ext_e), 1)
             + ti * tile_s - halo)
@@ -139,8 +144,10 @@ def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
     b, c, length = x.shape
     _, frames, layers, c2, rows = kern_taug.shape
     assert length == frames * hop, (length, frames, hop)
-    assert rows == aug_rows(c) and c2 == 2 * c, (rows, c2, c)
-
+    assert c2 == 2 * c, (c2, c)
+    # rows is either the exact augmented count (3C+1) or a 128-padded
+    # variant (head emits full lane tiles; zeros in the pad rows)
+    assert rows in (aug_rows(c), 128), (rows, c)
     tf = tile_frames if tile_frames else _pick_tile_frames(frames, hop)
     n_tiles = frames // tf
     tile_s = tf * hop
@@ -233,6 +240,46 @@ def lvc_block_ncl_from_nwc(x, skip, kern_aug, wstack, hop: int,
                             wstack_t_from(wstack).astype(x.dtype), hop,
                             interpret=interpret)
     return jnp.swapaxes(out, 1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lvc_block_ncl_nwc_taug(x, skip, kern_taug, wstack, hop: int,
+                           interpret: bool = False):
+    """NWC x/skip + PRE-TRANSPOSED kernel operand (B, F, layers, 2C, 3C+1)
+    as emitted directly by the predictor head
+    (models/fastdiff.py:_kernel_predictor_apply_taug) — the kern_aug→
+    kern_taug swapaxes relayout of the model's largest activation
+    (~1.45 ms/call, xplane-traced) never exists on this path.  Backward
+    recomputes through the unfused XLA path, same contract as
+    ``lvc_block_ncl_from_nwc``."""
+    xt = jnp.swapaxes(x, 1, 2)
+    st = jnp.swapaxes(skip, 1, 2)
+    out = lvc_block_ncl_aug(xt, st, kern_taug.astype(x.dtype),
+                            wstack_t_from(wstack).astype(x.dtype), hop,
+                            interpret=interpret)
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _taug_fwd(x, skip, kern_taug, wstack, hop, interpret):
+    out = lvc_block_ncl_nwc_taug(x, skip, kern_taug, wstack, hop, interpret)
+    return out, (x, skip, kern_taug, wstack)
+
+
+def _taug_bwd(hop, interpret, residuals, g):
+    x, skip, kern_taug, wstack = residuals
+    rows = aug_rows(x.shape[-1])
+    kern_aug = jnp.swapaxes(kern_taug[..., :rows], -1, -2)
+    _, vjp = jax.vjp(lambda *args: _unfused_from_aug(*args, hop),
+                     x, skip, kern_aug, wstack)
+    dx, dskip, dka, dws = vjp(g)
+    dkt = jnp.swapaxes(dka, -1, -2)
+    if kern_taug.shape[-1] != rows:
+        dkt = jnp.pad(dkt, [(0, 0)] * (dkt.ndim - 1)
+                      + [(0, kern_taug.shape[-1] - rows)])
+    return dx, dskip, dkt, dws
+
+
+lvc_block_ncl_nwc_taug.defvjp(_taug_fwd, _taug_bwd)
 
 
 def _unfused_from_aug(x, skip, kern_aug, wstack, hop):

@@ -19,9 +19,12 @@ task) rebuilt as a working TPU-native family:
 - MoL / MoG / categorical (mulaw-quantize one-hot) output heads
   (ops/mixture.py).
 
-Scope: local (mel) conditioning, as in every published r9y9 LJSpeech
-config; global/speaker embedding conditioning is not implemented (the
-reference's copy is dead code and no in-tree config exercises it).
+Conditioning: local (mel) plus optional global/speaker conditioning
+(reference wavenet.py:88-150: speaker-id embedding or raw (B, gin)
+features, one bias-free 1x1 per residual block added to the full gate
+pre-activation). Global features are time-constant, so both the parallel
+forward and the AR scan precompute the per-block gate contributions once
+and broadcast — the scan body never re-runs the g matmuls.
 """
 
 from __future__ import annotations
@@ -53,6 +56,8 @@ class MoLWaveNetConfig:
     output_distribution: str = "Logistic"   # "Logistic" | "Normal"
     log_scale_min: float = -16.0
     compute_dtype: str = "float32"    # AR scan state is f32 by default
+    gin_channels: int = 0             # 0 -> no global conditioning
+    n_speakers: int = 0               # >0 -> id-embedding table (std 0.1)
 
     @property
     def layers_per_stack(self) -> int:
@@ -94,11 +99,13 @@ class MoLWaveNetConfig:
             output_distribution=str(hp.get("wn_output_distribution",
                                            "Logistic")),
             compute_dtype=str(hp.get("wn_compute_dtype", "float32")),
+            gin_channels=int(hp.get("wn_gin_channels", 0)),
+            n_speakers=int(hp.get("wn_n_speakers", 0)),
         )
 
 
 def init_wavenet_mol(key, cfg: MoLWaveNetConfig) -> dict:
-    keys = jax.random.split(key, 4 + cfg.layers)
+    keys = jax.random.split(key, 5 + cfg.layers)
     params = {
         "first_conv": fnn.conv1d_init(keys[0], cfg.in_channels,
                                       cfg.residual_channels, 1),
@@ -112,9 +119,13 @@ def init_wavenet_mol(key, cfg: MoLWaveNetConfig) -> dict:
                                       cfg.out_channels, 1),
         "blocks": [],
     }
+    if cfg.gin_channels > 0 and cfg.n_speakers > 0:
+        params["embed_speakers"] = {
+            "w": 0.1 * jax.random.normal(
+                keys[3], (cfg.n_speakers, cfg.gin_channels), jnp.float32)}
     for layer in range(cfg.layers):
-        bk = jax.random.split(keys[4 + layer], 4)
-        params["blocks"].append({
+        bk = jax.random.split(keys[5 + layer], 5)
+        blk = {
             "conv": fnn.conv1d_init(bk[0], cfg.residual_channels,
                                     cfg.gate_channels, cfg.kernel_size),
             "aux_conv": {"w": fnn.conv1d_init(
@@ -123,7 +134,11 @@ def init_wavenet_mol(key, cfg: MoLWaveNetConfig) -> dict:
                                         cfg.residual_channels, 1),
             "skip_conv": fnn.conv1d_init(bk[3], cfg.gate_channels // 2,
                                          cfg.skip_channels, 1),
-        })
+        }
+        if cfg.gin_channels > 0:
+            blk["g_conv"] = {"w": fnn.conv1d_init(
+                bk[4], cfg.gin_channels, cfg.gate_channels, 1)["w"]}
+        params["blocks"].append(blk)
     return params
 
 
@@ -154,6 +169,25 @@ def upsample_cond(params: dict, mel: jnp.ndarray, cfg: MoLWaveNetConfig,
     return c
 
 
+def _g_gate_contribs(params: dict, g, cfg: MoLWaveNetConfig, dtype):
+    """Per-block gate contributions of the global conditioning: g is
+    speaker ids (B,)/(B, 1) int or features (B, gin) -> list of (B, gate)
+    per layer, or None. Time-constant, so computed once outside any scan
+    (reference expands g over T and re-convolves every step —
+    wavenet.py:200, modules.py:148-152)."""
+    if g is None:
+        return None
+    if cfg.gin_channels <= 0:
+        raise ValueError("g passed but gin_channels == 0")
+    g = jnp.asarray(g)
+    if jnp.issubdtype(g.dtype, jnp.integer):
+        g_emb = params["embed_speakers"]["w"][g.reshape(g.shape[0])]
+    else:
+        g_emb = g
+    return [_conv1x1(blk["g_conv"], g_emb, dtype)
+            for blk in params["blocks"]]
+
+
 def _causal_conv(p, x, dilation, dtype):
     """Causal dilated conv: left-pad (k-1)*d then valid correlation
     (the reference pads both sides and truncates the right tail)."""
@@ -168,15 +202,17 @@ def _causal_conv(p, x, dilation, dtype):
 
 
 def wavenet_mol_apply(params: dict, x: jnp.ndarray, mel: jnp.ndarray,
-                      cfg: MoLWaveNetConfig) -> jnp.ndarray:
+                      cfg: MoLWaveNetConfig, g=None) -> jnp.ndarray:
     """Teacher-forced forward (reference wavenet.py:171-223): x (B, T,
     in_ch) [scalar in [-1,1] or one-hot], mel (B, T', cin) -> logits /
-    mixture params (B, T, out_channels). T == T' * hop."""
+    mixture params (B, T, out_channels). T == T' * hop. Optional g:
+    speaker ids (B,) int or global features (B, gin_channels)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     g2 = cfg.gate_channels // 2
 
     c = upsample_cond(params, mel, cfg, dtype)
     assert c.shape[1] == x.shape[1], (c.shape, x.shape)
+    g_gate = _g_gate_contribs(params, g, cfg, dtype)
 
     h = _conv1x1(params["first_conv"], x, dtype)
     skips = jnp.zeros((x.shape[0], x.shape[1], cfg.skip_channels),
@@ -185,6 +221,8 @@ def wavenet_mol_apply(params: dict, x: jnp.ndarray, mel: jnp.ndarray,
         residual = h
         z = _causal_conv(blk["conv"], h, cfg.dilation(layer), dtype)
         z = z + _conv1x1(blk["aux_conv"], c, dtype)
+        if g_gate is not None:
+            z = z + g_gate[layer][:, None, :].astype(dtype)
         gated = (jnp.tanh(z[..., :g2])
                  * jax.nn.sigmoid(z[..., g2:])).astype(dtype)
         skips = skips + _conv1x1(blk["skip_conv"], gated, dtype)
@@ -199,11 +237,11 @@ def wavenet_mol_apply(params: dict, x: jnp.ndarray, mel: jnp.ndarray,
 
 
 def wavenet_mol_loss(params: dict, wav: jnp.ndarray, mel: jnp.ndarray,
-                     cfg: MoLWaveNetConfig) -> jnp.ndarray:
+                     cfg: MoLWaveNetConfig, g=None) -> jnp.ndarray:
     """Mean per-sample NLL with one-step teacher forcing (predict wav[t]
     from wav[<t]): the standard r9y9 training objective."""
     x_in = jnp.pad(wav[:, :-1], ((0, 0), (1, 0), (0, 0)))
-    y_hat = wavenet_mol_apply(params, x_in, mel, cfg)
+    y_hat = wavenet_mol_apply(params, x_in, mel, cfg, g=g)
     n = wav.shape[0] * wav.shape[1]
     if not cfg.scalar_input:
         ids = jnp.argmax(wav, axis=-1)
@@ -231,13 +269,15 @@ def _init_state(b: int, cfg: MoLWaveNetConfig, dtype) -> dict:
 
 
 def _step_logits(params: dict, cfg: MoLWaveNetConfig, state: dict,
-                 x_in: jnp.ndarray, c_t: jnp.ndarray, dtype):
+                 x_in: jnp.ndarray, c_t: jnp.ndarray, dtype, g_gate=None):
     """One AR step: x_in (B, in_ch), c_t (B, cin) -> (new_state, logits).
 
     Ring buffers hold each block's last (k-1)*d inputs; slot t mod len is
     read (it contains x[t - (k-1)d]) and then overwritten with x[t] — the
     same linearized-conv queue as the reference's incremental_forward,
-    with static shapes for the scan.
+    with static shapes for the scan. ``g_gate`` (from
+    ``_g_gate_contribs``) carries the time-constant global-conditioning
+    gate biases.
     """
     g2 = cfg.gate_channels // 2
     t = state["t"]
@@ -262,6 +302,8 @@ def _step_logits(params: dict, cfg: MoLWaveNetConfig, state: dict,
                                preferred_element_type=jnp.float32)
         z = (z + blk["conv"]["b"]).astype(dtype)
         z = z + _conv1x1(blk["aux_conv"], c_t, dtype)
+        if g_gate is not None:
+            z = z + g_gate[layer].astype(dtype)
         gated = (jnp.tanh(z[..., :g2])
                  * jax.nn.sigmoid(z[..., g2:])).astype(dtype)
         skips = skips + _conv1x1(blk["skip_conv"], gated, dtype)
@@ -278,17 +320,19 @@ def _step_logits(params: dict, cfg: MoLWaveNetConfig, state: dict,
 
 
 def wavenet_incremental_logits(params: dict, x_seq: jnp.ndarray,
-                               mel: jnp.ndarray, cfg: MoLWaveNetConfig
-                               ) -> jnp.ndarray:
+                               mel: jnp.ndarray, cfg: MoLWaveNetConfig,
+                               g=None) -> jnp.ndarray:
     """Teacher-forced logits THROUGH the incremental scan (B, T, in_ch) ->
     (B, T, out_ch). Must equal ``wavenet_mol_apply`` exactly — the
     correctness instrument for the ring-buffer state machine."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     c = upsample_cond(params, mel, cfg, dtype)
+    g_gate = _g_gate_contribs(params, g, cfg, dtype)
 
     def step(state, xc):
         x_t, c_t = xc
-        return _step_logits(params, cfg, state, x_t, c_t, dtype)
+        return _step_logits(params, cfg, state, x_t, c_t, dtype,
+                            g_gate=g_gate)
 
     state0 = _init_state(x_seq.shape[0], cfg, dtype)
     _, logits = jax.lax.scan(
@@ -310,7 +354,8 @@ def _sample_output(key, logits, cfg: MoLWaveNetConfig):
 
 
 def wavenet_generate_batched(params: dict, cond: jnp.ndarray,
-                             cfg: MoLWaveNetConfig, key) -> jnp.ndarray:
+                             cfg: MoLWaveNetConfig, key, g=None
+                             ) -> jnp.ndarray:
     """AR synthesis for pre-upsampled conditioning (B, T, cin) -> (B, T).
 
     One compiled lax.scan; per-step work is batch-fat (all folds advance
@@ -318,6 +363,7 @@ def wavenet_generate_batched(params: dict, cond: jnp.ndarray,
     categorical for one-hot, MoL/MoG for scalar (wavenet.py:225-340)."""
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
     b = cond.shape[0]
+    g_gate = _g_gate_contribs(params, g, cfg, dtype)
     if cfg.scalar_input:
         x0 = jnp.zeros((b, 1), jnp.float32)
     else:
@@ -327,7 +373,8 @@ def wavenet_generate_batched(params: dict, cond: jnp.ndarray,
     def step(carry, c_t):
         state, x_prev, k = carry
         k, sub = jax.random.split(k)
-        state, logits = _step_logits(params, cfg, state, x_prev, c_t, dtype)
+        state, logits = _step_logits(params, cfg, state, x_prev, c_t, dtype,
+                                     g_gate=g_gate)
         x = _sample_output(sub, logits, cfg)
         out = x[..., 0] if cfg.scalar_input else \
             mixture.inv_mulaw_quantize(jnp.argmax(x, axis=-1),
@@ -376,13 +423,20 @@ def xfade_and_unfold(y: np.ndarray, overlap: int) -> np.ndarray:
 
 
 def wavenet_generate(params: dict, mel: jnp.ndarray, cfg: MoLWaveNetConfig,
-                     key, target: int = 12800, overlap: int = 512
+                     key, target: int = 12800, overlap: int = 512, g=None
                      ) -> np.ndarray:
-    """Full batched-fold synthesis: mel (1, T', cin) -> wav (T,) float."""
+    """Full batched-fold synthesis: mel (1, T', cin) -> wav (T,) float.
+    ``g``: one utterance's speaker id/feature row, tiled over the folds."""
     c = upsample_cond(params, mel, cfg)
     total = c.shape[1]
     folded = fold_with_overlap(c, target, overlap)
-    wav = np.asarray(wavenet_generate_batched(params, folded, cfg, key),
+    if g is not None:
+        g = jnp.asarray(g)
+        g = g.reshape(1, -1) if g.ndim <= 1 else g
+        g = jnp.tile(g, (folded.shape[0], 1))
+        if jnp.issubdtype(g.dtype, jnp.integer):
+            g = g[:, 0]
+    wav = np.asarray(wavenet_generate_batched(params, folded, cfg, key, g=g),
                      np.float64)
     return xfade_and_unfold(wav, overlap)[:total]
 
@@ -429,12 +483,18 @@ def convert_wavenet_state_dict(sd: dict, cfg: MoLWaveNetConfig) -> dict:
         "last_conv2": conv("last_conv_layers.3"),
         "blocks": [],
     }
+    if "embed_speakers.weight" in sd:
+        params["embed_speakers"] = {
+            "w": _np(sd["embed_speakers.weight"]).astype(np.float32)}
     for layer in range(cfg.layers):
         p = f"conv_layers.{layer}"
-        params["blocks"].append({
+        blk = {
             "conv": conv(f"{p}.conv"),
             "aux_conv": {"w": conv(f"{p}.conv1x1c", bias=False)["w"]},
             "out_conv": conv(f"{p}.conv1x1_out"),
             "skip_conv": conv(f"{p}.conv1x1_skip"),
-        })
+        }
+        if (f"{p}.conv1x1g.weight_v" in sd or f"{p}.conv1x1g.weight" in sd):
+            blk["g_conv"] = {"w": conv(f"{p}.conv1x1g", bias=False)["w"]}
+        params["blocks"].append(blk)
     return params

@@ -285,7 +285,12 @@ def aug_head_matmul(tap_c, w_head, b_head, interpret: bool = False):
     m, k = tap_c.shape
     _, n = w_head.shape
     n_tile = _head_n_tile(n)
-    assert n_tile, (n,)
+    if not n_tile:
+        # no 128-multiple tile divides N (non-production widths, e.g. tiny
+        # test configs): plain XLA dot — the row-major emission only
+        # matters for perf at production shapes
+        y = jnp.dot(tap_c, w_head, preferred_element_type=jnp.float32)
+        return (y + b_head).astype(tap_c.dtype)
     m_tile = m if m <= 1024 else _head_n_tile(m, 1024) or 1024
     grid = (pl.cdiv(m, m_tile), n // n_tile)
     return pl.pallas_call(

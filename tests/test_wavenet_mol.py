@@ -178,3 +178,79 @@ def test_onehot_categorical_variant():
     out = wavenet_generate(params, jnp.asarray(mel), cfg,
                            jax.random.PRNGKey(2), target=16, overlap=8)
     assert out.shape == (32,) and np.isfinite(out).all()
+
+
+GLOBAL = MoLWaveNetConfig(out_channels=6, layers=4, stacks=2,
+                          residual_channels=8, gate_channels=16,
+                          skip_channels=8, cin_channels=10,
+                          upsample_scales=(4, 4), gin_channels=5,
+                          n_speakers=3)
+
+
+@requires_reference
+def test_global_conditioning_parity_with_reference():
+    """Speaker-embedding global conditioning (reference wavenet.py:88-150,
+    modules.py:148-152): id -> embedding -> per-block bias-free 1x1 into
+    the gate pre-activation."""
+    torch = _import_reference_torch()
+    from modules.wavenet_vocoder.wavenet import WaveNet
+
+    torch.manual_seed(1)
+    tmodel = WaveNet(out_channels=6, layers=4, stacks=2,
+                     residual_channels=8, gate_channels=16,
+                     skip_out_channels=8, kernel_size=3, cin_channels=10,
+                     gin_channels=5, n_speakers=3,
+                     use_speaker_embedding=True,
+                     upsample_conditional_features=True,
+                     upsample_params={"upsample_scales": [4, 4],
+                                      "cin_channels": 10},
+                     scalar_input=True, dropout=0.0)
+    tmodel.eval()
+    params = convert_wavenet_state_dict(tmodel.state_dict(), GLOBAL)
+    assert "embed_speakers" in params and "g_conv" in params["blocks"][0]
+
+    rng = np.random.default_rng(7)
+    b, frames = 2, 5
+    t = frames * 16
+    x = np.clip(rng.standard_normal((b, t, 1)), -1, 1).astype(np.float32)
+    mel = rng.standard_normal((b, frames, 10)).astype(np.float32)
+    g = np.asarray([2, 0], np.int64)
+
+    with torch.no_grad():
+        want = tmodel(torch.from_numpy(x.transpose(0, 2, 1)),
+                      c=torch.from_numpy(mel.transpose(0, 2, 1)),
+                      g=torch.from_numpy(g[:, None])).numpy()
+
+    jparams = jax.tree_util.tree_map(jnp.asarray, params)
+    got = wavenet_mol_apply(jparams, jnp.asarray(x), jnp.asarray(mel),
+                            GLOBAL, g=jnp.asarray(g))
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), want,
+                               rtol=2e-4, atol=2e-5)
+    # and the conditioning must actually matter
+    got0 = wavenet_mol_apply(jparams, jnp.asarray(x), jnp.asarray(mel),
+                             GLOBAL, g=jnp.asarray([0, 0]))
+    assert float(jnp.abs(got - got0).max()) > 1e-4
+
+
+def test_global_conditioning_incremental_matches_parallel():
+    params = init_wavenet_mol(jax.random.PRNGKey(2), GLOBAL)
+    rng = np.random.default_rng(11)
+    b, frames = 2, 4
+    t = frames * 16
+    x = np.clip(rng.standard_normal((b, t, 1)), -1, 1).astype(np.float32)
+    mel = rng.standard_normal((b, frames, 10)).astype(np.float32)
+    g = jnp.asarray([1, 2])
+
+    par = wavenet_mol_apply(params, jnp.asarray(x), jnp.asarray(mel),
+                            GLOBAL, g=g)
+    inc = wavenet_incremental_logits(params, jnp.asarray(x),
+                                     jnp.asarray(mel), GLOBAL, g=g)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(par),
+                               rtol=1e-4, atol=1e-4)
+
+    # raw-feature g (B, gin) bypasses the embedding table
+    g_feat = jnp.asarray(rng.standard_normal((b, 5)), jnp.float32)
+    out = wavenet_generate(params, jnp.asarray(mel[:1]), GLOBAL,
+                           jax.random.PRNGKey(1), target=32, overlap=16,
+                           g=g_feat[:1])
+    assert out.shape == (64,) and np.isfinite(out).all()

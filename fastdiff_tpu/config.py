@@ -68,11 +68,11 @@ class ModelConfig:
             diffusion_step_embed_dim_mid=int(hp.get("diffusion_step_embed_dim_mid", 512)),
             diffusion_step_embed_dim_out=int(hp.get("diffusion_step_embed_dim_out", 512)),
             use_weight_norm=bool(hp.get("use_weight_norm", True)),
-            # 'auto' resolves at the *inference* entry points (see
-            # resolve_pallas_block); training keeps the XLA path
-            use_pallas_block=(hp["use_pallas_block"]
-                              if hp.get("use_pallas_block") in (True, "ncl")
-                              else False),
+            # 'auto'/'ncl' resolve at the *inference* entry points (see
+            # resolve_pallas_block / inference_model_config); the training
+            # config admits only the NWC kernel (True — it has a VJP): the
+            # full-NCL forward is inference-only and VJP-less
+            use_pallas_block=(hp.get("use_pallas_block") is True),
             use_pallas_down=(hp.get("use_pallas_down", False) is True),
             compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
             conv_impl=str(hp.get("conv_impl", "dot")),
@@ -86,20 +86,30 @@ def resolve_pallas_block(hp: dict):
     ops/lvc_block_pallas) or "ncl" (round-3 time-in-lanes megakernel,
     ops/lvc_block_ncl).
 
-    ``use_pallas_block: auto`` (the config default) resolves to **"ncl"**:
-    hardware-trace A/B at the bench shapes (round 3, docs/PERF.md) measures
-    the NCL kernel 5.1x faster than the XLA inner loop on the hop-256
-    block (1.62 -> 0.32 ms) and 4.4x on hop-64 (0.52 -> 0.12 ms); the
-    round-2 NWC kernel remains slower than XLA (its in-kernel (E, 32)
-    tensors are lane-padded 4x) and is kept only for A/B. Explicit
-    true/false/ncl wins. Training always uses the XLA path regardless
-    (both kernels' VJPs recompute through XLA anyway).
+    ``use_pallas_block: auto`` (the config default) resolves to **"ncl"
+    on TPU**: hardware-trace A/B at the bench shapes (round 3,
+    docs/PERF.md) measures the NCL kernel 5.1x faster than the XLA inner
+    loop on the hop-256 block (1.62 -> 0.32 ms) and 4.4x on hop-64
+    (0.52 -> 0.12 ms); the round-2 NWC kernel remains slower than XLA
+    (its in-kernel (E, 32) tensors are lane-padded 4x) and is kept only
+    for A/B. On CPU/GPU auto resolves to the XLA path (the kernel would
+    only run in Mosaic interpret mode there). Explicit true/false/ncl
+    wins. Training always uses the XLA path regardless (both kernels'
+    VJPs recompute through XLA anyway).
     """
     raw = hp.get("use_pallas_block", "auto")
     if isinstance(raw, str):
         low = raw.strip().lower()
-        if low in ("auto", "", "ncl"):
+        if low == "ncl":
             return "ncl"
+        if low in ("auto", ""):
+            # backend-aware: the NCL megakernel targets the TPU; on CPU the
+            # kernel would run in Mosaic interpret mode (orders of magnitude
+            # slower than the XLA path). Explicit "ncl" still forces it
+            # anywhere (tests exercise the interpret path that way).
+            import jax
+            return "ncl" if jax.default_backend() not in ("cpu", "gpu") \
+                else False
         return low in ("1", "true", "yes", "on")
     return bool(raw)
 

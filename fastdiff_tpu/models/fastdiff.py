@@ -357,21 +357,17 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
 
     use_fused = False
     if cfg.use_pallas_block:
+        # "ncl" never reaches here: fastdiff_apply routes it to the full
+        # NCL forward (_fastdiff_apply_ncl) before block dispatch
         from fastdiff_tpu.ops.lvc_block_pallas import (fusable,
                                                        lvc_block_fused_aug,
                                                        stack_conv_weights)
         use_fused = fusable(hop, mel.shape[1])
-    ncl = cfg.use_pallas_block == "ncl"
     if use_fused:
         # zero-prep megakernel path: the predictor emits the augmented
-        # operand directly (no kernels/biases intermediates); for the NCL
-        # kernel it is emitted ALREADY TRANSPOSED (kern_taug layout)
-        if ncl:
-            kern_taug = _kernel_predictor_apply_taug(
-                p["kernel_predictor"], cond, cfg, dtype)
-        else:
-            kern_aug = _kernel_predictor_apply_aug(
-                p["kernel_predictor"], cond, cfg, dtype)
+        # operand directly (no kernels/biases intermediates)
+        kern_aug = _kernel_predictor_apply_aug(
+            p["kernel_predictor"], cond, cfg, dtype)
     else:
         kernels, biases = _kernel_predictor_apply(
             p["kernel_predictor"], cond, cfg, dtype)
@@ -390,13 +386,6 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
             [cv["b"] for cv in p["convs"]], dtype=dtype)
         # interpret mode keeps the integration path testable on CPU
         interp = jax.default_backend() == "cpu"
-        if ncl:
-            # round-3 time-in-lanes kernel: 5.1x/4.4x faster than the XLA
-            # inner loop at hop 256/64 (hardware-trace A/B, docs/PERF.md);
-            # the head feeds it the transposed operand directly
-            from fastdiff_tpu.ops.lvc_block_ncl import lvc_block_ncl_nwc_taug
-            return lvc_block_ncl_nwc_taug(x, skip, kern_taug, wstack, hop,
-                                          interp)
         return lvc_block_fused_aug(x, skip, kern_aug, wstack, hop, interp)
 
     for i in range(cfg.lvc_layers_each_block):
@@ -410,6 +399,103 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     return x
 
 
+def _dblock_apply_ncl(p: dict, x: jnp.ndarray, factor: int, dtype) -> jnp.ndarray:
+    """``_dblock_apply`` twin for NCL (B, C, L) activations."""
+    residual = fnn.conv1d_ncl(p["residual_dense"], x, compute_dtype=dtype)
+    residual = fnn.nearest_downsample_ncl(residual, factor)
+    x = fnn.nearest_downsample_ncl(x, factor)
+    for i, conv in enumerate(p["convs"]):
+        x = fnn.leaky_relu(x, 0.2)
+        x = fnn.conv1d_ncl(conv, x, dilation=2 ** i, compute_dtype=dtype)
+    return x + residual
+
+
+def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
+                         mel: jnp.ndarray, t_emb: jnp.ndarray, ratio: int,
+                         hop: int, cfg: ModelConfig, dtype) -> jnp.ndarray:
+    """``_lvc_block_apply`` twin for NCL activations: x (B, C, L/ratio),
+    skip (B, C, L) -> (B, C, L).  Fusable blocks call the NCL megakernel
+    directly (no NWC<->NCL boundary transposes at all); the non-fusable
+    hop-8 block bridges to the NWC XLA inner loop at its small rate."""
+    noise = fnn.dense(p["fc_t"], t_emb, compute_dtype=dtype)     # (B, cond_ch)
+    cond = mel + noise[:, None, :].astype(mel.dtype)
+
+    from fastdiff_tpu.ops.lvc_block_ncl import (fusable, lvc_block_ncl_aug,
+                                                wstack_t_from)
+    use_fused = fusable(hop, mel.shape[1])
+
+    x = fnn.leaky_relu(x, 0.2)
+    x = fnn.conv_transpose1d_ncl(
+        p["upsample"], x, stride=ratio,
+        torch_padding=ratio // 2 + ratio % 2, output_padding=ratio % 2,
+        compute_dtype=dtype)
+
+    if use_fused:
+        from fastdiff_tpu.ops.lvc_block_pallas import stack_conv_weights
+        kern_taug = _kernel_predictor_apply_taug(
+            p["kernel_predictor"], cond, cfg, dtype)
+        wstack = stack_conv_weights(
+            [fnn.conv_weight(cv) for cv in p["convs"]],
+            [cv["b"] for cv in p["convs"]], dtype=dtype)
+        interp = jax.default_backend() == "cpu"
+        return lvc_block_ncl_aug(x.astype(dtype), skip.astype(dtype),
+                                 kern_taug.astype(dtype),
+                                 wstack_t_from(wstack).astype(dtype), hop,
+                                 interpret=interp)
+
+    kernels, biases = _kernel_predictor_apply(
+        p["kernel_predictor"], cond, cfg, dtype)
+    xw = jnp.swapaxes(x, 1, 2)
+    sw = jnp.swapaxes(skip, 1, 2)
+    for i in range(cfg.lvc_layers_each_block):
+        xw = xw + sw
+        y = fnn.leaky_relu(xw, 0.2)
+        y = fnn.conv1d(p["convs"][i], y, dilation=3 ** i, compute_dtype=dtype,
+                       impl=cfg.conv_impl)
+        y = fnn.leaky_relu(y, 0.2)
+        xw = lvc_gated_residual(xw, y, kernels[:, :, i].astype(dtype),
+                                biases[:, :, i].astype(jnp.float32), hop)
+    return jnp.swapaxes(xw, 1, 2)
+
+
+def _fastdiff_apply_ncl(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
+                        t: jnp.ndarray, cfg: ModelConfig, dtype) -> jnp.ndarray:
+    """Full NCL (time-in-lanes) inference forward.
+
+    Same math as ``fastdiff_apply``'s NWC path, but every activation is
+    (B, C, L): elementwise ops run at full 128 lanes, conv taps are
+    minor-dim shifts, and the NCL megakernel consumes its operands with
+    zero boundary transposes — the (B, L, 32)<->(B, 32, L) transposes at
+    full rate cost ~1.2 ms each in the device trace (docs/PERF.md).  The
+    only remaining NWC bridge is the non-fusable hop-8 block at T/32.
+    Audio in/out stay (B, T, 1): the (B, T, 1)<->(B, 1, T) reshapes are
+    byte-identical (C == 1), so the sampler is layout-agnostic.
+    Inference-only: the megakernel is called without a VJP wrapper
+    (training runs the NWC path — config.resolve_pallas_block)."""
+    emb = diffusion_step_embedding(t, cfg.diffusion_step_embed_dim_in)
+    emb = fnn.swish(fnn.dense(params["fc_t1"], emb))
+    emb = fnn.swish(fnn.dense(params["fc_t2"], emb))      # (B, 512) f32
+
+    n_blocks = len(cfg.upsample_ratios)
+    factors = tuple(cfg.upsample_ratios[::-1])
+    b, length, _ = audio.shape
+    x = jnp.reshape(audio.astype(dtype), (b, 1, length))
+    x = fnn.conv1d_ncl(params["first_audio_conv"], x, compute_dtype=dtype)
+    skips = []
+    for n, dblock in enumerate(params["downsample"]):
+        skips.append(x)
+        x = _dblock_apply_ncl(dblock, x, factors[n], dtype)
+
+    hops = cfg.cond_hop_lengths
+    for n, lvcb in enumerate(params["lvc_blocks"]):
+        skip = skips[n_blocks - 1 - n]
+        x = _lvc_block_apply_ncl(lvcb, x, skip, mel.astype(dtype), emb,
+                                 cfg.upsample_ratios[n], hops[n], cfg, dtype)
+
+    out = fnn.conv1d_ncl(params["final_conv"], x, compute_dtype=dtype)
+    return jnp.reshape(out, (b, length, 1)).astype(jnp.float32)
+
+
 def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
                    t: jnp.ndarray, cfg: ModelConfig) -> jnp.ndarray:
     """Epsilon prediction: audio (B, T, 1), mel (B, T', n_mels), t (B, 1) float.
@@ -417,6 +503,8 @@ def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
     Returns (B, T, 1). Requires T == T' * prod(upsample_ratios).
     """
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    if cfg.use_pallas_block == "ncl":
+        return _fastdiff_apply_ncl(params, audio, mel, t, cfg, dtype)
 
     emb = diffusion_step_embedding(t, cfg.diffusion_step_embed_dim_in)
     emb = fnn.swish(fnn.dense(params["fc_t1"], emb))

@@ -284,3 +284,95 @@ def nearest_downsample(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     floor(t * in/out) = t*factor (reference: modules.py:131-133).
     """
     return x[:, ::factor, :]
+
+
+# ---------------------------------------------------------------------------
+# NCL (channels, time-in-lanes) apply functions — the inference-path layout
+# of the round-3 NCL megakernel (ops/lvc_block_ncl.py). In this layout every
+# elementwise op runs at full 128 lanes and conv taps are minor-dim shifts;
+# the NWC<->NCL boundary transposes they replace cost ~1.2 ms each at full
+# rate (device-traced, docs/PERF.md). Semantics match the NWC twins exactly
+# (same-padding stride-1 convs / torch transposed-conv output lengths).
+# ---------------------------------------------------------------------------
+
+def conv1d_ncl(params: dict, x: jnp.ndarray, *, dilation: int = 1,
+               compute_dtype=None) -> jnp.ndarray:
+    """``conv1d_dot`` twin for NCL inputs: x (B, C_in, L) -> (B, C_out, L).
+
+    K shifted (C_out, C_in) @ (C_in, L) dots with time in lanes; 'same'
+    zero padding, stride 1 (the only case the model uses)."""
+    w = conv_weight(params)                     # (K, I, O)
+    out_dtype = jnp.float32
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        out_dtype = compute_dtype
+    k = w.shape[0]
+    length = x.shape[2]
+    pad = dilation * ((k - 1) // 2)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+    y = None
+    for tap in range(k):
+        xs = jax.lax.slice_in_dim(xp, tap * dilation, tap * dilation + length,
+                                  axis=2)
+        term = jnp.einsum("io,bil->bol", w[tap], xs,
+                          preferred_element_type=jnp.float32)
+        y = term if y is None else y + term
+    return (y + params["b"][None, :, None]).astype(out_dtype)
+
+
+def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
+                         torch_padding: int, output_padding: int = 0,
+                         compute_dtype=None) -> jnp.ndarray:
+    """``conv_transpose1d_dot`` twin for NCL inputs:
+    x (B, C_in, L) -> (B, C_out, L*stride) (k = 2*stride upsampler family).
+
+    Phase matmuls emit (B, stride, C_out, L); the phase interleave is one
+    transpose+reshape of the output (minor dims (L, stride)) instead of the
+    full-rate NWC<->NCL boundary transposes."""
+    w = conv_transpose_weight(params)           # (K, I, O)
+    out_dtype = jnp.float32
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        out_dtype = compute_dtype
+    k, c_in, c_out = w.shape
+    lo = k - 1 - torch_padding
+    length = x.shape[2]
+
+    groups = {}
+    for tap in range(k):
+        p = (lo - tap) % stride
+        s = (p + tap - lo) // stride
+        groups.setdefault(s, []).append((p, tap))
+    zero = jnp.zeros((c_in, c_out), w.dtype)
+    s_min = min(groups)
+    s_max = max(groups)
+    xp = jnp.pad(x, ((0, 0), (0, 0), (-s_min, s_max)))
+
+    y = None
+    for s, taps in sorted(groups.items()):
+        per_phase = [zero] * stride
+        for p, tap in taps:
+            per_phase[p] = w[tap]
+        # rows ordered (phase, c_out)
+        b_s = jnp.transpose(jnp.stack(per_phase, axis=0),
+                            (0, 2, 1)).reshape(stride * c_out, c_in)
+        xs = jax.lax.slice_in_dim(xp, s - s_min, s - s_min + length, axis=2)
+        term = jnp.einsum("ri,bil->brl", b_s, xs,
+                          preferred_element_type=jnp.float32)
+        y = term if y is None else y + term
+    b = x.shape[0]
+    y = y.reshape(b, stride, c_out, length)
+    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(b, c_out, length * stride)
+    target = (length - 1) * stride - 2 * torch_padding + k + output_padding
+    if y.shape[2] != target:
+        extra = y.shape[2] - target
+        y = y[:, :, : y.shape[2] - extra] if extra > 0 else jnp.pad(
+            y, ((0, 0), (0, 0), (0, -extra)))
+    return (y + params["b"][None, :, None]).astype(out_dtype)
+
+
+def nearest_downsample_ncl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """``nearest_downsample`` twin for NCL inputs (B, C, L)."""
+    return x[:, :, ::factor]

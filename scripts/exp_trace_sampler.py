@@ -67,8 +67,8 @@ def report_trace(out_dir, calls=1, top=25):
         print(f"|   {dur/1e3/calls:8.3f} ms/call  {name[:110]}")
 
 
-def main(b):
-    cfg = ModelConfig(use_pallas_block=False)
+def main(b, mode="xla"):
+    cfg = ModelConfig(use_pallas_block="ncl" if mode == "ncl" else False)
     params = fuse_weight_norm(init_fastdiff(jax.random.PRNGKey(0), cfg))
     hp = schedules.compute_hyperparams_given_schedule(
         schedules.linear_beta_schedule(DiffusionConfig()))
@@ -81,7 +81,7 @@ def main(b):
     fn = lambda m: sampler(params, jax.random.PRNGKey(1), m, audio_len)
     force(fn(mel))                                   # compile + warm
     calls = 20
-    out_dir = f"/tmp/trace_sampler_b{b}"
+    out_dir = f"/tmp/trace_sampler_b{b}_{mode}"
     os.system(f"rm -rf {out_dir}")
     jax.profiler.start_trace(out_dir)
     out = None
@@ -94,5 +94,6 @@ def main(b):
 
 if __name__ == "__main__":
     print(f"| backend={jax.default_backend()}", flush=True)
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1)
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 1,
+         sys.argv[2] if len(sys.argv) > 2 else "xla")
     print("DONE", flush=True)

@@ -130,3 +130,27 @@ def test_model_integration_ncl():
     out = fastdiff_apply(params, audio, mel, t, cfg_ncl)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_model_integration_ncl_batched():
+    """The full-NCL forward (B, C, L end to end) matches the NWC path at
+    batch > 1 and bf16 compute (the production inference configuration)."""
+    from fastdiff_tpu.config import ModelConfig
+    from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+
+    cfg = ModelConfig(inner_channels=32, cond_channels=80,
+                      upsample_ratios=(8, 8, 4), compute_dtype="bfloat16")
+    params = init_fastdiff(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    frames = 8
+    audio = jnp.asarray(rng.normal(size=(3, frames * 256, 1)), jnp.float32)
+    mel = jnp.asarray(rng.normal(size=(3, frames, 80)), jnp.float32)
+    t = jnp.full((3, 1), 512.0, jnp.float32)
+    ref = fastdiff_apply(params, audio, mel, t, cfg)
+    cfg_ncl = ModelConfig(inner_channels=32, cond_channels=80,
+                          upsample_ratios=(8, 8, 4),
+                          compute_dtype="bfloat16", use_pallas_block="ncl")
+    out = fastdiff_apply(params, audio, mel, t, cfg_ncl)
+    # bf16 paths accumulate rounding differently; agreement to bf16 eps
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=0.05, atol=0.05)

@@ -118,3 +118,48 @@ def test_leaky_relu_and_swish(rng):
     want = (torch.from_numpy(x) * torch.sigmoid(torch.from_numpy(x))).numpy()
     np.testing.assert_allclose(np.asarray(fnn.swish(jnp.asarray(x))), want,
                                rtol=1e-5, atol=1e-6)
+
+
+# --- NCL (time-in-lanes) twins: parity vs the torch-verified NWC ops -------
+
+@pytest.mark.parametrize("k,dilation,cin,cout",
+                         [(3, 1, 5, 7), (3, 4, 32, 32), (7, 1, 1, 32),
+                          (7, 1, 32, 1), (1, 1, 32, 32)])
+def test_conv1d_ncl_matches_nwc(rng, k, dilation, cin, cout):
+    b, t = 2, 64
+    x = rng.standard_normal((b, t, cin)).astype(np.float32)
+    tconv = torch.nn.Conv1d(cin, cout, k, padding=dilation * ((k - 1) // 2),
+                            dilation=dilation)
+    p = _to_jax_conv_params(tconv)
+    want = fnn.conv1d(p, jnp.asarray(x), dilation=dilation)
+    got = fnn.conv1d_ncl(p, jnp.asarray(x.transpose(0, 2, 1)),
+                         dilation=dilation)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1),
+                               np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ratio", [4, 8])
+def test_conv_transpose1d_ncl_matches_nwc(rng, ratio):
+    b, t, c = 2, 16, 4
+    x = rng.standard_normal((b, t, c)).astype(np.float32)
+    tconv = torch.nn.ConvTranspose1d(
+        c, c, kernel_size=ratio * 2, stride=ratio,
+        padding=ratio // 2 + ratio % 2, output_padding=ratio % 2)
+    p = _to_jax_convT_params(tconv)
+    want = fnn.conv_transpose1d(
+        p, jnp.asarray(x), stride=ratio,
+        torch_padding=ratio // 2 + ratio % 2, output_padding=ratio % 2)
+    got = fnn.conv_transpose1d_ncl(
+        p, jnp.asarray(x.transpose(0, 2, 1)), stride=ratio,
+        torch_padding=ratio // 2 + ratio % 2, output_padding=ratio % 2)
+    assert got.shape == (b, c, t * ratio)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1),
+                               np.asarray(want), rtol=1e-4, atol=1e-5)
+
+
+def test_nearest_downsample_ncl_matches_nwc(rng):
+    x = rng.standard_normal((2, 64, 3)).astype(np.float32)
+    want = fnn.nearest_downsample(jnp.asarray(x), 4)
+    got = fnn.nearest_downsample_ncl(jnp.asarray(x.transpose(0, 2, 1)), 4)
+    np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1),
+                               np.asarray(want))

@@ -1,19 +1,23 @@
 """Pallas-kernel auto policies: config resolution semantics.
 
 Round-3 update: ``use_pallas_block: auto`` resolves to the NCL
-(time-in-lanes) megakernel — hardware-trace A/B measured it 5.1x/4.4x
-faster than the XLA inner loop at hop 256/64 (docs/PERF.md).  The down-path
-kernel's auto stays OFF (still measured slower).
+(time-in-lanes) megakernel ON TPU — hardware-trace A/B measured it
+5.1x/4.4x faster than the XLA inner loop at hop 256/64 (docs/PERF.md) —
+and to the XLA path on CPU/GPU, where the kernel would only run in Mosaic
+interpret mode.  The down-path kernel's auto stays OFF (still measured
+slower).  These tests run on the CPU backend (conftest).
 """
 
 from fastdiff_tpu.config import (ModelConfig, inference_model_config,
                                  resolve_pallas_block, resolve_pallas_down)
 
 
-def test_block_auto_resolves_ncl():
-    assert resolve_pallas_block({}) == "ncl"
-    assert resolve_pallas_block({"use_pallas_block": "auto"}) == "ncl"
-    assert resolve_pallas_block({"use_pallas_block": ""}) == "ncl"
+def test_block_auto_is_backend_aware():
+    # CPU backend here: auto avoids interpret-mode Pallas
+    assert resolve_pallas_block({}) is False
+    assert resolve_pallas_block({"use_pallas_block": "auto"}) is False
+    assert resolve_pallas_block({"use_pallas_block": ""}) is False
+    # explicit ncl forces the kernel on any backend
     assert resolve_pallas_block({"use_pallas_block": "ncl"}) == "ncl"
 
 
@@ -37,16 +41,23 @@ def test_inference_model_config_applies_both():
                                        "use_pallas_down": "true"})
     assert out.use_pallas_block is True and out.use_pallas_down
     out = inference_model_config(cfg, {})
-    assert out.use_pallas_block == "ncl" and not out.use_pallas_down
+    # CPU backend: auto -> XLA path (on TPU it resolves to "ncl")
+    assert out.use_pallas_block is False and not out.use_pallas_down
+    out = inference_model_config(cfg, {"use_pallas_block": "ncl"})
+    assert out.use_pallas_block == "ncl"
     out = inference_model_config(cfg, {"use_pallas_block": "false"})
     assert out.use_pallas_block is False
 
 
 def test_training_config_keeps_xla_on_auto():
-    # from_hparams (the training path) only honors explicit True/"ncl";
-    # 'auto' stays on the XLA path (kernels' VJPs recompute unfused anyway)
+    # from_hparams (the training path) only honors explicit True (the NWC
+    # kernel, which has a VJP); 'auto' stays on the XLA path and 'ncl' is
+    # inference-only (the full-NCL forward is VJP-less) — resolved at the
+    # inference entry points via inference_model_config
     cfg = ModelConfig.from_hparams({"use_pallas_block": "auto",
                                     "use_pallas_down": "auto"})
     assert not cfg.use_pallas_block and not cfg.use_pallas_down
     cfg = ModelConfig.from_hparams({"use_pallas_block": "ncl"})
-    assert cfg.use_pallas_block == "ncl"
+    assert cfg.use_pallas_block is False
+    cfg = ModelConfig.from_hparams({"use_pallas_block": True})
+    assert cfg.use_pallas_block is True

@@ -292,15 +292,22 @@ def _kernel_predictor_apply_taug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     (B, T', layers, 2Cin, K*Cin+1) for the NCL time-in-lanes megakernel.
 
     Same trace-time head merge as _kernel_predictor_apply_aug, but the
-    merged conv's output channels are ordered (layers, 2Cin, rows) — the
-    reshape to the NCL kernel's ``kern_taug`` operand is then byte-exact,
-    so the kern_aug→kern_taug swapaxes relayout of the model's largest
-    activation (~1.45 ms per block call, xplane-traced) never exists."""
+    merged conv's output channels are ordered (layers, 2Cin, rows) with the
+    rows dimension ZERO-PADDED to a lane-tile multiple (97 -> 128 at the
+    production width).  The padding is what makes the reshape to the NCL
+    kernel's 5D ``kern_taug`` operand an actual bitcast: with minor dim 97
+    the target tiled layout lane-pads 97->128, so XLA materializes a
+    relayout of the model's largest activation (2.36 ms/sampler,
+    reshape.2508/2512 in the r4 device trace); with minor dim 128 the
+    head+reshape slope-times 0.546 -> 0.144 ms per block call.  The NCL
+    megakernel consumes the padded operand natively (lvc_block_ncl_aug
+    slices the zero tail back off in registers)."""
     cin = cfg.inner_channels
     cout = 2 * cfg.inner_channels
     layers = cfg.lvc_layers_each_block
     k = cfg.lvc_kernel_size
     rows = k * cin + 1
+    rows_p = ((rows + 127) // 128) * 128         # lane-tile padded row count
 
     kw = fnn.conv_weight(p["kernel_conv"])       # (ksz, hid, layers*K*Cin*2Cin)
     bw = fnn.conv_weight(p["bias_conv"])         # (ksz, hid, layers*2Cin)
@@ -308,11 +315,14 @@ def _kernel_predictor_apply_taug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     aw = jnp.concatenate(
         [kw.reshape(ksz, hid, layers, k * cin, cout),
          bw.reshape(ksz, hid, layers, 1, cout)], axis=3)
-    aug_w = jnp.swapaxes(aw, 3, 4).reshape(ksz, hid, layers * cout * rows)
+    aw = jnp.swapaxes(aw, 3, 4)                  # (ksz, hid, layers, cout, rows)
+    aw = jnp.pad(aw, ((0, 0),) * 4 + ((0, rows_p - rows),))
+    aug_w = aw.reshape(ksz, hid, layers * cout * rows_p)
     ab = jnp.concatenate(
         [p["kernel_conv"]["b"].reshape(layers, k * cin, cout),
          p["bias_conv"]["b"].reshape(layers, 1, cout)], axis=1)
-    aug_b = jnp.swapaxes(ab, 1, 2).reshape(-1)
+    ab = jnp.swapaxes(ab, 1, 2)                  # (layers, cout, rows)
+    aug_b = jnp.pad(ab, ((0, 0), (0, 0), (0, rows_p - rows))).reshape(-1)
 
     c = _kp_trunk(p, cond, cfg, dtype)
     b, frames, _ = c.shape
@@ -329,7 +339,7 @@ def _kernel_predictor_apply_taug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
         tap_c = jnp.concatenate(taps, axis=-1).reshape(b * frames, ksz * hid)
         ka = aug_head_matmul(tap_c, aug_w.reshape(ksz * hid, -1).astype(dtype),
                              aug_b, interpret=(backend == "cpu"))
-    return ka.reshape(b, frames, layers, cout, rows)
+    return ka.reshape(b, frames, layers, cout, rows_p)
 
 
 def _dblock_apply(p: dict, x: jnp.ndarray, factor: int, dtype, impl="lax") -> jnp.ndarray:
@@ -400,10 +410,13 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
 
 
 def _dblock_apply_ncl(p: dict, x: jnp.ndarray, factor: int, dtype) -> jnp.ndarray:
-    """``_dblock_apply`` twin for NCL (B, C, L) activations."""
-    residual = fnn.conv1d_ncl(p["residual_dense"], x, compute_dtype=dtype)
-    residual = fnn.nearest_downsample_ncl(residual, factor)
+    """``_dblock_apply`` twin for NCL (B, C, L) activations.
+
+    The 1x1 residual conv is commuted past the downsample (pointwise in
+    time, so bit-exact): one lane-strided downsample per block instead of
+    two, and the residual dot runs at 1/factor the rate."""
     x = fnn.nearest_downsample_ncl(x, factor)
+    residual = fnn.conv1d_ncl(p["residual_dense"], x, compute_dtype=dtype)
     for i, conv in enumerate(p["convs"]):
         x = fnn.leaky_relu(x, 0.2)
         x = fnn.conv1d_ncl(conv, x, dilation=2 ** i, compute_dtype=dtype)

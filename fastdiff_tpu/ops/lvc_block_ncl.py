@@ -55,7 +55,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_MIN_FUSED_HOP = 64
+_MIN_FUSED_HOP = 8
 _MIN_HALO = 48
 
 
@@ -127,13 +127,28 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
 
 
 def _pick_tile_frames(n_frames: int, hop: int) -> int:
-    target = max(1, 8192 // hop)
+    # ~8k samples per tile for the big hops; for small hops the VMEM bound
+    # flips to the kern operand (layers*2C*rows ~ 64 KB/frame at the
+    # production width), so cap the frame count instead.  r4 slope timing
+    # at hop 8: tf 144/288 both ~0.1 ms — the per-frame (2C, R) @ (R, 8)
+    # micro-dots are latency-tolerable at the T/32 rate.
+    target = min(max(1, 8192 // hop), 144)
     divisors = [tf for tf in range(1, n_frames + 1) if n_frames % tf == 0]
     return min(divisors, key=lambda tf: abs(tf - target))
 
 
 def fusable(hop: int, n_frames: int) -> bool:
-    return hop >= _MIN_FUSED_HOP and n_frames >= 2
+    if hop < _MIN_FUSED_HOP or n_frames < 2:
+        return False
+    # the shifted halo BlockSpecs need the frame axis to tile into whole
+    # halo units (halo = smallest multiple of lcm(hop, 128) covering the
+    # receptive field); small hops make that a real constraint (hop 8 ->
+    # halo 128 -> frames % 16 == 0)
+    halo = max(hop, _MIN_HALO, 128)
+    while halo % 128 or halo % hop:
+        halo += hop
+    hf = halo // hop
+    return n_frames % hf == 0 and n_frames >= hf
 
 
 @functools.partial(jax.jit, static_argnames=("hop", "interpret",
@@ -145,9 +160,11 @@ def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
     _, frames, layers, c2, rows = kern_taug.shape
     assert length == frames * hop, (length, frames, hop)
     assert c2 == 2 * c, (c2, c)
-    # rows is either the exact augmented count (3C+1) or a 128-padded
-    # variant (head emits full lane tiles; zeros in the pad rows)
-    assert rows in (aug_rows(c), 128), (rows, c)
+    # rows is either the exact augmented count (3C+1) or a lane-tile-padded
+    # variant (the head emits full 128-lane tiles so its output reshape is a
+    # bitcast; zeros in the pad rows are sliced back off in-kernel)
+    assert rows == aug_rows(c) or (rows % 128 == 0
+                                   and rows >= aug_rows(c)), (rows, c)
     tf = tile_frames if tile_frames else _pick_tile_frames(frames, hop)
     n_tiles = frames // tf
     tile_s = tf * hop
@@ -192,7 +209,8 @@ def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
         return pl.BlockSpec((1, hf, layers, c2, rows), imap,
                             memory_space=pltpu.VMEM)
 
-    wspec = pl.BlockSpec((layers, c, rows), lambda bi, ti: (0, 0, 0),
+    wrows = wstack_t.shape[-1]                  # un-padded (3C+1)
+    wspec = pl.BlockSpec((layers, c, wrows), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM)
 
     return pl.pallas_call(

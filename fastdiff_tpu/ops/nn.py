@@ -311,6 +311,21 @@ def conv1d_ncl(params: dict, x: jnp.ndarray, *, dilation: int = 1,
     length = x.shape[2]
     pad = dilation * ((k - 1) // 2)
     xp = jnp.pad(x, ((0, 0), (0, 0), (pad, pad)))
+    if w.shape[2] == 1:
+        # degenerate-output conv (the model's final 32->1 projection): an
+        # M=1 dot makes XLA fall back to 1D T(1024) layouts and multi-output
+        # tap fusions (0.55 ms/sampler in the r4 trace).  Broadcast-multiply
+        # each tap and reduce over channels instead — 100% lane-efficient
+        # VPU work on the (C, L) operand.
+        acc = None
+        for tap in range(k):
+            xs = jax.lax.slice_in_dim(
+                xp, tap * dilation, tap * dilation + length, axis=2)
+            term = xs.astype(jnp.float32) * w[tap, :, 0].astype(
+                jnp.float32)[None, :, None]
+            acc = term if acc is None else acc + term
+        y = jnp.sum(acc, axis=1, keepdims=True)
+        return (y + params["b"][None, :, None]).astype(out_dtype)
     y = None
     for tap in range(k):
         xs = jax.lax.slice_in_dim(xp, tap * dilation, tap * dilation + length,
@@ -364,15 +379,26 @@ def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
         y = term if y is None else y + term
     b = x.shape[0]
     y = y.reshape(b, stride, c_out, length)
+    # bias + output-dtype cast BEFORE the phase interleave: the interleave is
+    # a physical (XLU) relayout of the full-rate activation, so running it at
+    # the compute dtype halves its HBM traffic (r4 trace: 0.64 -> 0.32 ms per
+    # sampler on the block-2 upsampler)
+    y = (y + params["b"][None, None, :, None]).astype(out_dtype)
     y = jnp.transpose(y, (0, 2, 3, 1)).reshape(b, c_out, length * stride)
     target = (length - 1) * stride - 2 * torch_padding + k + output_padding
     if y.shape[2] != target:
         extra = y.shape[2] - target
         y = y[:, :, : y.shape[2] - extra] if extra > 0 else jnp.pad(
             y, ((0, 0), (0, 0), (0, -extra)))
-    return (y + params["b"][None, :, None]).astype(out_dtype)
+    return y
 
 
 def nearest_downsample_ncl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
-    """``nearest_downsample`` twin for NCL inputs (B, C, L)."""
+    """``nearest_downsample`` twin for NCL inputs (B, C, L).
+
+    Kept as the lane-strided slice: the strided-identity-conv alternative
+    measured faster in isolation (0.116 vs 0.136 ms at the full-rate
+    dblock) but 0.27 ms/forward SLOWER in the full NCL forward (r4 A/B) —
+    XLA's conv emitter wins the isolated layout game but loses the fusion
+    game in context."""
     return x[:, :, ::factor]

@@ -50,6 +50,8 @@ def _run(kw, hop):
     (1, 64, 64),     # multi-tile at hop 64 (128-sample halo = 2 frames)
     (2, 8, 256),     # hop 256, batch dim in the grid
     (1, 100, 256),   # training crop shape (non-power-of-two tiling)
+    (1, 64, 8),      # r4: hop-8 fused (16-frame halo units, micro-dots)
+    (2, 32, 8),      # hop-8 with batch dim
 ])
 def test_ncl_matches_unfused(b, f, hop):
     kw = _case(b, f, hop)
@@ -105,7 +107,9 @@ def test_from_nwc_adapter():
 
 def test_fusable_gating():
     assert fusable(256, 864) and fusable(64, 16)
-    assert not fusable(8, 864)       # hop-8 block stays on the XLA path
+    # r4: hop-8 is fused too (frames must tile into 16-frame halo units)
+    assert fusable(8, 864)
+    assert not fusable(8, 24)        # 24 % 16 != 0 -> XLA fallback
     assert not fusable(256, 1)
 
 

@@ -330,15 +330,24 @@ def _kernel_predictor_apply_taug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     if backend == "gpu":
         ka = fnn.conv1d({"w": aug_w, "b": aug_b}, c, compute_dtype=dtype,
                         impl=cfg.conv_impl)
-    else:
-        from fastdiff_tpu.ops.lvc_block_pallas import aug_head_matmul
-        pad = (ksz - 1) // 2
-        cp = jnp.pad(c.astype(dtype), ((0, 0), (pad, pad), (0, 0)))
-        taps = [jax.lax.slice_in_dim(cp, t, t + frames, axis=1)
-                for t in range(ksz)]
-        tap_c = jnp.concatenate(taps, axis=-1).reshape(b * frames, ksz * hid)
-        ka = aug_head_matmul(tap_c, aug_w.reshape(ksz * hid, -1).astype(dtype),
-                             aug_b, interpret=(backend == "cpu"))
+        return ka.reshape(b, frames, layers, cout, rows_p)
+    from fastdiff_tpu.ops.lvc_block_pallas import (aug_head_matmul,
+                                                   taug_head_matmul_5d)
+    pad = (ksz - 1) // 2
+    cp = jnp.pad(c.astype(dtype), ((0, 0), (pad, pad), (0, 0)))
+    taps = [jax.lax.slice_in_dim(cp, t, t + frames, axis=1)
+            for t in range(ksz)]
+    tap_c = jnp.concatenate(taps, axis=-1).reshape(b * frames, ksz * hid)
+    if cout % 8 == 0:
+        # canonical-layout emission: the megakernel's 5D operand comes out
+        # of the head already tiled (cout, rows)-minor, so no relayout copy
+        # ever materializes between head and megakernel
+        ka = taug_head_matmul_5d(
+            tap_c, aug_w.reshape(ksz * hid, -1).astype(dtype), aug_b,
+            layers, cout, rows_p, interpret=(backend == "cpu"))
+        return ka.reshape(b, frames, layers, cout, rows_p)
+    ka = aug_head_matmul(tap_c, aug_w.reshape(ksz * hid, -1).astype(dtype),
+                         aug_b, interpret=(backend == "cpu"))
     return ka.reshape(b, frames, layers, cout, rows_p)
 
 

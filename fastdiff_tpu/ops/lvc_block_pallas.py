@@ -260,6 +260,59 @@ def _head_mm_body(x_ref, w_ref, b_ref, out_ref):
     out_ref[...] = (acc + b_ref[...]).astype(out_ref.dtype)
 
 
+def _head_mm5d_body(x_ref, w_ref, b_ref, out_ref):
+    acc = jnp.dot(x_ref[...], w_ref[...], preferred_element_type=jnp.float32)
+    acc = (acc + b_ref[...]).astype(out_ref.dtype)
+    mt = acc.shape[0]
+    _, cout, rows = out_ref.shape[1:]
+    out_ref[:, 0] = acc.reshape(mt, cout, rows)
+
+
+@functools.partial(jax.jit, static_argnames=("layers", "cout", "rows",
+                                             "interpret"))
+def taug_head_matmul_5d(tap_c, w_head, b_head, layers: int, cout: int,
+                        rows: int, interpret: bool = False):
+    """Kernel-predictor head matmul that emits the NCL megakernel's operand
+    in its CANONICAL tiled layout: (M, layers, cout, rows) with (cout, rows)
+    as the tiled minor dims.
+
+    A plain matmul emits (M, layers*cout*rows) with frames in sublanes;
+    feeding that to the megakernel (whose Pallas operands must be
+    default-layout) makes XLA materialize a relayout copy of the model's
+    largest activation — 0.43 ms/block at b=1 and a super-linear 2.76 ms at
+    b=4 (r4 device traces). Here each grid cell computes one (m_tile,
+    cout*rows) layer slab and retiles it in-register on the way out
+    (Mosaic reshape, slope-timed at ~455 GB/s — the copy never exists).
+
+    Requires rows % 128 == 0 and cout % 8 == 0 (the padded taug head
+    guarantees rows; cout = 2*inner_channels).
+    """
+    m, k = tap_c.shape
+    n_slab = cout * rows
+    # small m-tiles: the f32 accumulator is (m_tile, cout*rows) on the
+    # kernel stack (216 x 8192 x 4 = 7 MB at the production width; 864
+    # blew the 29.5 MB scoped-vmem limit)
+    m_tile = min(m, 216)
+    grid = (pl.cdiv(m, m_tile), layers)
+    return pl.pallas_call(
+        _head_mm5d_body,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((m_tile, k), lambda mi, li: (mi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n_slab), lambda mi, li: (0, li),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_slab), lambda mi, li: (0, li),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m_tile, 1, cout, rows),
+                               lambda mi, li: (mi, li, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, layers, cout, rows), tap_c.dtype),
+        interpret=interpret,
+    )(tap_c, w_head, b_head.reshape(1, layers * n_slab).astype(jnp.float32))
+
+
 def _head_n_tile(n: int, cap: int = 2048) -> int:
     """Largest divisor of n that is a multiple of 128 and <= cap."""
     best = 0

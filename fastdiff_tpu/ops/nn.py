@@ -400,5 +400,11 @@ def nearest_downsample_ncl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     measured faster in isolation (0.116 vs 0.136 ms at the full-rate
     dblock) but 0.27 ms/forward SLOWER in the full NCL forward (r4 A/B) —
     XLA's conv emitter wins the isolated layout game but loses the fusion
-    game in context."""
-    return x[:, :, ::factor]
+    game in context.
+
+    The (B, C) dims are merged before slicing: at b=4 XLA lowered the 3D
+    strided slice to a gather with a batch-minor [L/4, B, C] output layout
+    costing 17.7 ms/sampler (46x its b=1 cost, the single largest op in
+    the b=4 trace); the same slice on the merged 2D view stays sane."""
+    b, c, length = x.shape
+    return x.reshape(b * c, length)[:, ::factor].reshape(b, c, length // factor)

@@ -418,13 +418,18 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     return x
 
 
-def _dblock_apply_ncl(p: dict, x: jnp.ndarray, factor: int, dtype) -> jnp.ndarray:
+def _dblock_apply_ncl(p: dict, x: jnp.ndarray, factor: int, dtype,
+                      pre_downsampled: bool = False) -> jnp.ndarray:
     """``_dblock_apply`` twin for NCL (B, C, L) activations.
 
     The 1x1 residual conv is commuted past the downsample (pointwise in
     time, so bit-exact): one lane-strided downsample per block instead of
-    two, and the residual dot runs at 1/factor the rate."""
-    x = fnn.nearest_downsample_ncl(x, factor)
+    two, and the residual dot runs at 1/factor the rate.
+    ``pre_downsampled``: the caller already produced x at the block's
+    output rate (the first block fuses the downsample into the strided
+    audio conv)."""
+    if not pre_downsampled:
+        x = fnn.nearest_downsample_ncl(x, factor)
     residual = fnn.conv1d_ncl(p["residual_dense"], x, compute_dtype=dtype)
     for i, conv in enumerate(p["convs"]):
         x = fnn.leaky_relu(x, 0.2)
@@ -434,11 +439,16 @@ def _dblock_apply_ncl(p: dict, x: jnp.ndarray, factor: int, dtype) -> jnp.ndarra
 
 def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
                          mel: jnp.ndarray, t_emb: jnp.ndarray, ratio: int,
-                         hop: int, cfg: ModelConfig, dtype) -> jnp.ndarray:
+                         hop: int, cfg: ModelConfig, dtype,
+                         final_wb=None):
     """``_lvc_block_apply`` twin for NCL activations: x (B, C, L/ratio),
     skip (B, C, L) -> (B, C, L).  Fusable blocks call the NCL megakernel
     directly (no NWC<->NCL boundary transposes at all); the non-fusable
-    hop-8 block bridges to the NWC XLA inner loop at its small rate."""
+    hop-8 block bridges to the NWC XLA inner loop at its small rate.
+
+    ``final_wb`` (8, C): when given and the block is fused, the model's
+    final k=7 C->1 conv runs as an in-kernel epilogue and the return is
+    (block_out, final_out (B, 1, L) f32)."""
     noise = fnn.dense(p["fc_t"], t_emb, compute_dtype=dtype)     # (B, cond_ch)
     cond = mel + noise[:, None, :].astype(mel.dtype)
 
@@ -463,7 +473,7 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
         return lvc_block_ncl_aug(x.astype(dtype), skip.astype(dtype),
                                  kern_taug.astype(dtype),
                                  wstack_t_from(wstack).astype(dtype), hop,
-                                 interpret=interp)
+                                 interpret=interp, final_wb=final_wb)
 
     kernels, biases = _kernel_predictor_apply(
         p["kernel_predictor"], cond, cfg, dtype)
@@ -501,18 +511,38 @@ def _fastdiff_apply_ncl(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
     n_blocks = len(cfg.upsample_ratios)
     factors = tuple(cfg.upsample_ratios[::-1])
     b, length, _ = audio.shape
-    x = jnp.reshape(audio.astype(dtype), (b, 1, length))
-    x = fnn.conv1d_ncl(params["first_audio_conv"], x, compute_dtype=dtype)
+    a_ncl = jnp.reshape(audio.astype(dtype), (b, 1, length))
+    x = fnn.conv1d_ncl(params["first_audio_conv"], a_ncl, compute_dtype=dtype)
     skips = []
     for n, dblock in enumerate(params["downsample"]):
         skips.append(x)
+        # (a strided-conv-from-audio variant of the first downsample —
+        # exact, 2.4x cheaper in isolation — measured 0.2 ms/fwd SLOWER in
+        # context; the lane-strided slice stays)
         x = _dblock_apply_ncl(dblock, x, factors[n], dtype)
 
     hops = cfg.cond_hop_lengths
+    fw = fnn.conv_weight(params["final_conv"])
+    use_epilogue = fw.shape[0] == 7 and fw.shape[2] == 1
+    final_wb = None
+    if use_epilogue:
+        # (8, C): 7 final-conv taps + a bias row, consumed by the last
+        # megakernel call's epilogue (the standalone C->1 conv costs
+        # 0.56 ms/sampler at b=1 in 1D layouts — see conv1d_ncl)
+        final_wb = jnp.concatenate(
+            [fw[:, :, 0], jnp.full((1, fw.shape[1]),
+                                   params["final_conv"]["b"][0])],
+            axis=0).astype(dtype)
     for n, lvcb in enumerate(params["lvc_blocks"]):
         skip = skips[n_blocks - 1 - n]
-        x = _lvc_block_apply_ncl(lvcb, x, skip, mel.astype(dtype), emb,
-                                 cfg.upsample_ratios[n], hops[n], cfg, dtype)
+        last = n == n_blocks - 1
+        out = _lvc_block_apply_ncl(
+            lvcb, x, skip, mel.astype(dtype), emb,
+            cfg.upsample_ratios[n], hops[n], cfg, dtype,
+            final_wb=final_wb if last else None)
+        if last and isinstance(out, (tuple, list)):
+            return jnp.reshape(out[1], (b, length, 1))
+        x = out
 
     out = fnn.conv1d_ncl(params["final_conv"], x, compute_dtype=dtype)
     return jnp.reshape(out, (b, length, 1)).astype(jnp.float32)

@@ -77,7 +77,42 @@ def _roll_lanes(arr, shift):
     return pltpu.roll(arr.astype(jnp.float32), shift % n, 1).astype(arr.dtype)
 
 
+def _kernel_body_final(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack,
+                       wfin, out_ref, fin_ref, *, hop: int, layers: int,
+                       c: int, length: int, tile_s: int, halo: int):
+    """``_kernel_body`` + fused final-conv epilogue (the model's k=7, C->1
+    output projection).  As a standalone op the degenerate-output conv costs
+    0.56 ms/sampler at b=1 (2.2 at b=4) in 1D T(1024) layouts; in-kernel it
+    is 7 lane-rolls + a sublane reduction on the already-resident carry.
+    ``wfin`` is (8, c): rows 0..6 the taps, row 7 broadcasting the bias."""
+    carry = _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack,
+                         out_ref, hop=hop, layers=layers, c=c, length=length,
+                         tile_s=tile_s, halo=halo)
+    ext_e = tile_s + 2 * halo
+    ti = pl.program_id(1)
+    gpos = (jax.lax.broadcasted_iota(jnp.int32, (1, ext_e), 1)
+            + ti * tile_s - halo)
+    valid = jnp.logical_and(gpos >= 0, gpos < length)
+    cm = jnp.where(valid, carry, jnp.zeros_like(carry)).astype(jnp.float32)
+    w = wfin[...].astype(jnp.float32)                     # (8, c)
+    acc = None
+    for tap in range(7):
+        shifted = pltpu.roll(cm, (3 - tap) % ext_e, 1)
+        term = shifted * w[tap][:, None]
+        acc = term if acc is None else acc + term
+    fc = jnp.sum(acc, axis=0, keepdims=True) + w[7, 0]    # (1, E)
+    fin_ref[0] = fc[:, halo: halo + tile_s]
+
+
 def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
+                 *, hop: int, layers: int, c: int, length: int,
+                 tile_s: int, halo: int):
+    _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
+                 hop=hop, layers=layers, c=c, length=length, tile_s=tile_s,
+                 halo=halo)
+
+
+def _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
                  *, hop: int, layers: int, c: int, length: int,
                  tile_s: int, halo: int):
     ext_e = tile_s + 2 * halo
@@ -124,6 +159,7 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
         carry = s + gate.astype(s.dtype)
 
     out_ref[0] = carry[:, halo: halo + tile_s]
+    return carry
 
 
 def _pick_tile_frames(n_frames: int, hop: int) -> int:
@@ -155,7 +191,11 @@ def fusable(hop: int, n_frames: int) -> bool:
                                              "tile_frames"))
 def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
                       interpret: bool = False,
-                      tile_frames: int | None = None):
+                      tile_frames: int | None = None,
+                      final_wb=None):
+    """Whole-LVC-block NCL megakernel.  With ``final_wb`` ((8, C): 7 final
+    conv taps + a bias row) the model's k=7 C->1 output projection runs as
+    an in-kernel epilogue and a second (B, 1, L) f32 output is returned."""
     b, c, length = x.shape
     _, frames, layers, c2, rows = kern_taug.shape
     assert length == frames * hop, (length, frames, hop)
@@ -213,19 +253,39 @@ def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
     wspec = pl.BlockSpec((layers, c, wrows), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM)
 
-    return pl.pallas_call(
-        functools.partial(_kernel_body, hop=hop, layers=layers, c=c,
-                          length=length, tile_s=tile_s, halo=halo),
+    common = dict(
         grid=grid,
-        in_specs=[x_spec, x_halo("l"), x_halo("r"),
-                  x_spec, x_halo("l"), x_halo("r"),
-                  k_spec, k_halo("l"), k_halo("r"), wspec],
-        out_specs=pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, c, length), x.dtype),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=96 * 2 ** 20),
         interpret=interpret,
+    )
+    in_specs = [x_spec, x_halo("l"), x_halo("r"),
+                x_spec, x_halo("l"), x_halo("r"),
+                k_spec, k_halo("l"), k_halo("r"), wspec]
+    out_spec = pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
+                            memory_space=pltpu.VMEM)
+    if final_wb is not None:
+        wfin_spec = pl.BlockSpec((8, c), lambda bi, ti: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        fin_spec = pl.BlockSpec((1, 1, tile_s), lambda bi, ti: (bi, 0, ti),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_body_final, hop=hop, layers=layers,
+                              c=c, length=length, tile_s=tile_s, halo=halo),
+            in_specs=in_specs + [wfin_spec],
+            out_specs=[out_spec, fin_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, c, length), x.dtype),
+                       jax.ShapeDtypeStruct((b, 1, length), jnp.float32)],
+            **common,
+        )(x, x, x, skip, skip, skip, kern_taug, kern_taug, kern_taug,
+          wstack_t, final_wb)
+    return pl.pallas_call(
+        functools.partial(_kernel_body, hop=hop, layers=layers, c=c,
+                          length=length, tile_s=tile_s, halo=halo),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, length), x.dtype),
+        **common,
     )(x, x, x, skip, skip, skip, kern_taug, kern_taug, kern_taug, wstack_t)
 
 

@@ -92,6 +92,35 @@ def test_gradients_match_unfused():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_final_conv_epilogue():
+    """lvc_block_ncl_aug(final_wb=...) fuses the model's k=7 C->1 output
+    conv; the second output must match conv1d(block_out)."""
+    from fastdiff_tpu.ops.lvc_block_ncl import (kern_taug_from_aug,
+                                                lvc_block_ncl_aug,
+                                                wstack_t_from)
+    from fastdiff_tpu.ops import nn as fnn
+
+    kw = _case(1, 16, 64, seed=5)
+    c = 32
+    rng = np.random.default_rng(7)
+    fw = jnp.asarray(rng.normal(size=(7, c, 1)) * 0.1, jnp.float32)
+    fb = jnp.asarray(rng.normal(size=(1,)) * 0.1, jnp.float32)
+    kern_aug = augment_lvc_kernels(kw["kernels"], kw["biases"].astype(
+        kw["x"].dtype))
+    wstack = stack_conv_weights([w for w in kw["conv_ws"]],
+                                [b for b in kw["conv_bs"]],
+                                dtype=kw["x"].dtype)
+    xt = jnp.swapaxes(kw["x"], 1, 2)
+    st = jnp.swapaxes(kw["skip"], 1, 2)
+    final_wb = jnp.concatenate([fw[:, :, 0], jnp.full((1, c), fb[0])], axis=0)
+    out, fin = lvc_block_ncl_aug(xt, st, kern_taug_from_aug(kern_aug),
+                                 wstack_t_from(wstack), 64, interpret=True,
+                                 final_wb=final_wb)
+    ref = fnn.conv1d_ncl({"w": fw, "b": fb}, out)
+    np.testing.assert_allclose(np.asarray(fin), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_from_nwc_adapter():
     kw = _case(1, 8, 256, seed=2)
     kern_aug = augment_lvc_kernels(kw["kernels"], kw["biases"].astype(

@@ -36,14 +36,28 @@ from fastdiff_tpu.models.spk_encoder import init_spk_encoder, spk_encoder_apply
 # Pseudo-speaker augmentation
 # ---------------------------------------------------------------------------
 
-def speaker_warp(mel: np.ndarray, spk_seed: int) -> np.ndarray:
+def speaker_warp(mel: np.ndarray, spk_seed: int,
+                 holdout: bool = False) -> np.ndarray:
     """Deterministic per-speaker voice transform of a log-mel (T, M):
     frequency-axis warp (vocal-tract length change), spectral tilt
-    (brightness) and gain — a distinct, stable pseudo-voice per seed."""
-    rng = np.random.default_rng(1000 + spk_seed)
-    alpha = rng.uniform(0.82, 1.22)          # freq warp factor
-    tilt = rng.uniform(-0.3, 0.3)            # dB/bin-style tilt
-    gain = rng.uniform(-0.2, 0.2)
+    (brightness) and gain — a distinct, stable pseudo-voice per seed.
+
+    ``holdout=True`` draws every parameter from ranges DISJOINT from the
+    training distribution (warp outside (0.82, 1.22), |tilt| > 0.3,
+    |gain| > 0.2) and a disjoint seed space: verification EER measured on
+    these voices demonstrates generalization to transform parameters the
+    encoder never trained on, not memorization of the augmentation family
+    (r3 verdict item 7)."""
+    rng = np.random.default_rng((500_000 if holdout else 1000) + spk_seed)
+    if holdout:
+        alpha = (rng.uniform(0.74, 0.81) if rng.uniform() < 0.5
+                 else rng.uniform(1.23, 1.30))
+        tilt = float(rng.choice([-1, 1])) * rng.uniform(0.31, 0.42)
+        gain = float(rng.choice([-1, 1])) * rng.uniform(0.21, 0.30)
+    else:
+        alpha = rng.uniform(0.82, 1.22)      # freq warp factor
+        tilt = rng.uniform(-0.3, 0.3)        # dB/bin-style tilt
+        gain = rng.uniform(-0.2, 0.2)
     t, m = mel.shape
     src = np.clip(np.arange(m) * alpha, 0, m - 1)
     lo = np.floor(src).astype(np.int64)
@@ -55,8 +69,10 @@ def speaker_warp(mel: np.ndarray, spk_seed: int) -> np.ndarray:
 
 
 def make_crops(mels: List[np.ndarray], n_spk: int, n_utt: int,
-               crop: int, rng: np.random.Generator) -> np.ndarray:
-    """(n_spk, n_utt, crop, M) batch of warped random crops."""
+               crop: int, rng: np.random.Generator,
+               holdout: bool = False) -> np.ndarray:
+    """(n_spk, n_utt, crop, M) batch of warped random crops.
+    ``holdout`` routes to the disjoint transform ranges (see speaker_warp)."""
     m = mels[0].shape[1]
     out = np.zeros((n_spk, n_utt, crop, m), np.float32)
     for s in range(n_spk):
@@ -68,7 +84,8 @@ def make_crops(mels: List[np.ndarray], n_spk: int, n_utt: int,
                              mode="wrap")
                 mel = pad
             start = int(rng.integers(0, mel.shape[0] - crop))
-            out[s, u] = speaker_warp(mel[start: start + crop], spk_seed)
+            out[s, u] = speaker_warp(mel[start: start + crop], spk_seed,
+                                     holdout=holdout)
     return out
 
 
@@ -129,10 +146,13 @@ def train_spk_encoder(mels: List[np.ndarray], steps: int = 300,
 # ---------------------------------------------------------------------------
 
 def verification_eer(params: dict, mels: List[np.ndarray], n_spk: int = 16,
-                     n_utt: int = 6, crop: int = 80, seed: int = 123) -> float:
-    """Equal error rate over all same/different-speaker crop pairs."""
+                     n_utt: int = 6, crop: int = 80, seed: int = 123,
+                     holdout: bool = False) -> float:
+    """Equal error rate over all same/different-speaker crop pairs.
+    ``holdout=True`` scores pseudo-voices from transform ranges disjoint
+    from the training augmentation (the generalization number)."""
     rng = np.random.default_rng(seed)
-    batch = make_crops(mels, n_spk, n_utt, crop, rng)
+    batch = make_crops(mels, n_spk, n_utt, crop, rng, holdout=holdout)
     s, u, t, m = batch.shape
     emb = np.asarray(spk_encoder_apply(
         jax.tree_util.tree_map(jnp.asarray, params),

@@ -65,6 +65,36 @@ def test_training_beats_random_projection_eer():
     assert eer_trained < eer_base - 0.02, (eer_trained, eer_base)
 
 
+def test_holdout_ranges_are_disjoint():
+    """The holdout transform parameters must fall strictly outside the
+    training ranges for every seed probed."""
+    mel = _toy_corpus(1)[0]
+    for seed in range(40):
+        rng = np.random.default_rng(500_000 + seed)
+        alpha = (rng.uniform(0.74, 0.81) if rng.uniform() < 0.5
+                 else rng.uniform(1.23, 1.30))
+        assert alpha < 0.82 or alpha > 1.22
+    # and holdout warps differ from the train-family warp of the same seed
+    assert np.abs(speaker_warp(mel, 3, holdout=True)
+                  - speaker_warp(mel, 3)).mean() > 0.01
+
+
+def test_training_generalizes_to_holdout_transforms():
+    """r3 verdict item 7: EER on pseudo-voices from DISJOINT transform
+    ranges (never seen in training) must still clearly beat the random
+    projection baseline — the win is not memorization of the augmentation
+    family."""
+    mels = _toy_corpus()
+    baseline = init_spk_encoder(jax.random.PRNGKey(0))
+    eer_base = verification_eer(baseline, mels, n_spk=10, n_utt=4, crop=60,
+                                holdout=True)
+    params, _ = train_spk_encoder(mels, steps=60, n_spk=6, n_utt=3,
+                                  crop=60, lr=2e-3)
+    eer_holdout = verification_eer(params, mels, n_spk=10, n_utt=4, crop=60,
+                                   holdout=True)
+    assert eer_holdout < eer_base - 0.02, (eer_holdout, eer_base)
+
+
 def test_eer_math():
     same = np.asarray([0.9, 0.8, 0.7])
     diff = np.asarray([0.1, 0.2, 0.3])

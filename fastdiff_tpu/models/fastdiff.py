@@ -375,7 +375,14 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     cond = mel + noise[:, None, :].astype(mel.dtype)
 
     use_fused = False
-    if cfg.use_pallas_block:
+    use_ncl_vjp = False
+    if cfg.use_pallas_block == "ncl_vjp":
+        # trainable NCL route: megakernel forward, unfused-recompute
+        # backward (lvc_block_ncl's custom VJP) — differentiable end to
+        # end because the kernel predictor stays on the unfused head
+        from fastdiff_tpu.ops import lvc_block_ncl as _ncl
+        use_ncl_vjp = _ncl.fusable(hop, mel.shape[1])
+    elif cfg.use_pallas_block:
         # "ncl" never reaches here: fastdiff_apply routes it to the full
         # NCL forward (_fastdiff_apply_ncl) before block dispatch
         from fastdiff_tpu.ops.lvc_block_pallas import (fusable,
@@ -398,6 +405,16 @@ def _lvc_block_apply(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
         p["upsample"], x, stride=ratio,
         torch_padding=ratio // 2 + ratio % 2, output_padding=ratio % 2,
         compute_dtype=dtype)
+
+    if use_ncl_vjp:
+        from fastdiff_tpu.ops.lvc_block_ncl import lvc_block_ncl
+        conv_ws = jnp.stack([fnn.conv_weight(cv) for cv in p["convs"]])
+        conv_bs = jnp.stack([cv["b"] for cv in p["convs"]])
+        return lvc_block_ncl(x, skip, kernels.astype(dtype),
+                             biases.astype(jnp.float32),
+                             conv_ws.astype(dtype),
+                             conv_bs.astype(jnp.float32), hop,
+                             jax.default_backend() == "cpu")
 
     if use_fused:
         wstack = stack_conv_weights(

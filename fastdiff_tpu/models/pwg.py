@@ -127,10 +127,15 @@ def _conv_nobias(p: dict, x, dilation=1, dtype=None, valid=False):
         x, w = x.astype(dtype), w.astype(dtype)
     k = w.shape[0]
     pad = 0 if valid else dilation * ((k - 1) // 2)
+    # no preferred_element_type here: with bf16 operands an f32-output conv
+    # breaks under value_and_grad (the VJP convolves the f32 cotangent with
+    # the bf16 weights -> dtype-mismatch TypeError; hit by bf16 training of
+    # the diffusion-PWG denoiser, r4).  The MXU still accumulates in f32
+    # internally; only the stored output is rounded to the compute dtype,
+    # matching every other conv in this model (fnn.conv1d compute_dtype).
     return jax.lax.conv_general_dilated(
         x, w, (1,), [(pad, pad)], rhs_dilation=(dilation,),
-        dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32)
+        dimension_numbers=("NWC", "WIO", "NWC"))
 
 
 def upsample_mel(params: dict, mel: jnp.ndarray, cfg: PWGConfig,
@@ -152,10 +157,11 @@ def upsample_mel(params: dict, mel: jnp.ndarray, cfg: PWGConfig,
         # shared single filter across channels: NHWC with H=ch, W=time, C=1
         x = c.swapaxes(1, 2)[..., None]                    # (B, ch, T, 1)
         w = up["w"].astype(dtype)                          # (1, 2s+1, 1, 1)
+        # no preferred_element_type: f32-output convs on bf16 operands
+        # break under value_and_grad (see _conv_nobias)
         x = jax.lax.conv_general_dilated(
             x.astype(dtype), w, (1, 1), [(0, 0), (s, s)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         c = x[..., 0].swapaxes(1, 2).astype(dtype)
     return c
 

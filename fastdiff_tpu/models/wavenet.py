@@ -139,12 +139,14 @@ def _upsample_mel(upsamplers, mel: jnp.ndarray, strides, length: int,
         w = (up["g"] * v / norm).astype(dtype)
         # torch ConvTranspose2d k=(3, 2s), stride=(1, s), pad=(1, s//2):
         # as lhs-dilated conv, edge pad (k-1-p) per dim.
+        # no preferred_element_type: f32-output convs on bf16 operands break
+        # under value_and_grad (VJP convolves the f32 cotangent with bf16
+        # weights; see models/pwg.py:_conv_nobias)
         x = jax.lax.conv_general_dilated(
             x, w, window_strides=(1, 1),
             padding=[(1, 1), (2 * s - 1 - s // 2, 2 * s - 1 - s // 2)],
             lhs_dilation=(1, s),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         x = x + up["b"].astype(x.dtype)
         x = fnn.leaky_relu(x, 0.4).astype(dtype)
     x = x[..., 0].swapaxes(1, 2)          # (B, T, n_mels)

@@ -161,10 +161,11 @@ def upsample_cond(params: dict, mel: jnp.ndarray, cfg: MoLWaveNetConfig,
         c = jnp.repeat(c, s, axis=1)
         x = c.swapaxes(1, 2)[..., None]              # (B, cin, T, 1)
         w = up["w"].astype(dtype)                    # (1, 2s+1, 1, 1)
+        # no preferred_element_type (bf16-training VJP dtype bug; see
+        # models/pwg.py:_conv_nobias)
         x = jax.lax.conv_general_dilated(
             x.astype(dtype), w, (1, 1), [(0, 0), (s, s)],
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
         c = x[..., 0].swapaxes(1, 2).astype(dtype)
     return c
 

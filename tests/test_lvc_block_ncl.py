@@ -165,6 +165,39 @@ def test_model_integration_ncl():
                                rtol=3e-4, atol=3e-4)
 
 
+def test_model_integration_ncl_vjp_trainable():
+    """use_pallas_block='ncl_vjp' (the trainable NCL route: megakernel
+    forward, unfused-recompute backward) matches the XLA forward and
+    produces gradients matching the XLA path."""
+    from fastdiff_tpu.config import ModelConfig
+    from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+
+    kw = dict(inner_channels=32, cond_channels=80, upsample_ratios=(8, 8, 4),
+              compute_dtype="float32")
+    cfg = ModelConfig(**kw)
+    cfg_v = ModelConfig(use_pallas_block="ncl_vjp", **kw)
+    params = init_fastdiff(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    frames = 8
+    audio = jnp.asarray(rng.normal(size=(1, frames * 256, 1)), jnp.float32)
+    mel = jnp.asarray(rng.normal(size=(1, frames, 80)), jnp.float32)
+    t = jnp.full((1, 1), 12.0, jnp.float32)
+    ref = fastdiff_apply(params, audio, mel, t, cfg)
+    out = fastdiff_apply(params, audio, mel, t, cfg_v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+    def loss(p, c):
+        return jnp.mean(fastdiff_apply(p, audio, mel, t, c) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, cfg))(params)
+    g_v = jax.grad(lambda p: loss(p, cfg_v))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_model_integration_ncl_batched():
     """The full-NCL forward (B, C, L end to end) matches the NWC path at
     batch > 1 and bf16 compute (the production inference configuration)."""

@@ -268,8 +268,7 @@ def _head_mm5d_body(x_ref, w_ref, b_ref, out_ref):
     out_ref[:, 0] = acc.reshape(mt, cout, rows)
 
 
-@functools.partial(jax.jit, static_argnames=("layers", "cout", "rows",
-                                             "interpret"))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def taug_head_matmul_5d(tap_c, w_head, b_head, layers: int, cout: int,
                         rows: int, interpret: bool = False):
     """Kernel-predictor head matmul that emits the NCL megakernel's operand
@@ -313,6 +312,29 @@ def taug_head_matmul_5d(tap_c, w_head, b_head, layers: int, cout: int,
     )(tap_c, w_head, b_head.reshape(1, layers * n_slab).astype(jnp.float32))
 
 
+def _taug5d_fwd(tap_c, w_head, b_head, layers, cout, rows, interpret):
+    out = taug_head_matmul_5d(tap_c, w_head, b_head, layers, cout, rows,
+                              interpret)
+    return out, (tap_c, w_head, b_head)
+
+
+def _taug5d_bwd(layers, cout, rows, interpret, residuals, g):
+    # plain matmul VJP on the flattened view (training-path only; the
+    # canonical-layout emission is an inference perf feature)
+    tap_c, w_head, b_head = residuals
+    gf = g.reshape(g.shape[0], -1)
+    dx = jnp.dot(gf, w_head.T.astype(gf.dtype),
+                 preferred_element_type=jnp.float32).astype(tap_c.dtype)
+    dw = jnp.dot(tap_c.T, gf.astype(tap_c.dtype),
+                 preferred_element_type=jnp.float32).astype(w_head.dtype)
+    db = (jnp.sum(gf, axis=0, dtype=jnp.float32)
+          .reshape(b_head.shape).astype(b_head.dtype))
+    return dx, dw, db
+
+
+taug_head_matmul_5d.defvjp(_taug5d_fwd, _taug5d_bwd)
+
+
 def _head_n_tile(n: int, cap: int = 2048) -> int:
     """Largest divisor of n that is a multiple of 128 and <= cap."""
     best = 0
@@ -322,7 +344,7 @@ def _head_n_tile(n: int, cap: int = 2048) -> int:
     return best
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def aug_head_matmul(tap_c, w_head, b_head, interpret: bool = False):
     """Row-major-emitting matmul for the kernel-predictor head.
 
@@ -362,6 +384,27 @@ def aug_head_matmul(tap_c, w_head, b_head, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((m, n), tap_c.dtype),
         interpret=interpret,
     )(tap_c, w_head, b_head.reshape(1, n).astype(jnp.float32))
+
+
+def _aug_head_fwd(tap_c, w_head, b_head, interpret):
+    out = aug_head_matmul(tap_c, w_head, b_head, interpret)
+    return out, (tap_c, w_head, b_head)
+
+
+def _aug_head_bwd(interpret, residuals, g):
+    # plain matmul VJP (the row-major emission is an inference perf feature;
+    # the NWC-fused TRAINING route differentiates through this head)
+    tap_c, w_head, b_head = residuals
+    dx = jnp.dot(g, w_head.T.astype(g.dtype),
+                 preferred_element_type=jnp.float32).astype(tap_c.dtype)
+    dw = jnp.dot(tap_c.T, g.astype(tap_c.dtype),
+                 preferred_element_type=jnp.float32).astype(w_head.dtype)
+    db = (jnp.sum(g, axis=0, dtype=jnp.float32)
+          .reshape(b_head.shape).astype(b_head.dtype))
+    return dx, dw, db
+
+
+aug_head_matmul.defvjp(_aug_head_fwd, _aug_head_bwd)
 
 
 def _unfused_reference(x, skip, kernels, biases, conv_ws, conv_bs, hop):

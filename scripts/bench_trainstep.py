@@ -98,7 +98,7 @@ def main():
     if results:
         best = min(results, key=results.get)
         print(f"| best: {best} ({results[best]:.2f} ms); "
-              f"1M updates in {results[best] * 1e6 / 3.6e9:.1f} h single-chip")
+              f"1M updates in {results[best] * 1e6 / 3.6e6:.1f} h single-chip")
 
 
 if __name__ == "__main__":

@@ -35,11 +35,19 @@ def sampling_given_noise_schedule(
         constants: SamplerConstants,
         audio_length: int,
         ddim: bool = False,
-        return_sequence: bool = False):
+        return_sequence: bool = False,
+        state_ncl: bool = False):
     """Generate waveforms: mel (B, T', n_mels) -> (B, audio_length, 1).
 
     ``denoise_fn(x, mel, t)`` is the epsilon model; ``constants`` come from
     ``sampler_constants_for_schedule`` (index 0 = most-noisy step first).
+
+    ``state_ncl``: carry the scan state as (B, 1, L) instead of (B, L, 1).
+    Bit-identical output (the RNG draw order and all update arithmetic are
+    elementwise; the boundary reshapes are byte-exact at C == 1), but the
+    per-step select/add/RNG math runs with time in the minor dim — the
+    (B, L, 1) form left XLA with minor-dim-1 layouts costing ~0.55 ms of
+    the 6.19 ms r4 sampler (docs/PERF.md trace table).
     """
     batch = mel.shape[0]
     n_steps = constants.n_steps
@@ -48,8 +56,12 @@ def sampling_given_noise_schedule(
     sigma = jnp.asarray(constants.sigma)
     steps = jnp.asarray(constants.steps)
 
+    state_shape = ((batch, 1, audio_length) if state_ncl
+                   else (batch, audio_length, 1))
+    nlc = (batch, audio_length, 1)
+
     key, sub = jax.random.split(key)
-    x = jax.random.normal(sub, (batch, audio_length, 1), dtype=jnp.float32)
+    x = jax.random.normal(sub, state_shape, dtype=jnp.float32)
 
     step_keys = jax.random.split(key, n_steps)
 
@@ -57,7 +69,9 @@ def sampling_given_noise_schedule(
         i, k = scan_in
         b_n, a_n, s_n, t_n = beta[i], alpha[i], sigma[i], steps[i]
         t_vec = jnp.full((batch, 1), t_n, dtype=jnp.float32)
-        eps = denoise_fn(x, mel, t_vec)
+        eps = denoise_fn(x.reshape(nlc) if state_ncl else x, mel, t_vec)
+        if state_ncl:
+            eps = eps.reshape(state_shape)
         if ddim:
             a_next = a_n / jnp.sqrt(1.0 - b_n)
             c1 = a_next / a_n
@@ -75,17 +89,18 @@ def sampling_given_noise_schedule(
     idx = jnp.arange(n_steps)
     x, seq = jax.lax.scan(reverse_step, x, (idx, step_keys))
     if return_sequence:
-        return seq
-    return x
+        return (seq.reshape((n_steps,) + nlc) if state_ncl else seq)
+    return x.reshape(nlc) if state_ncl else x
 
 
 @functools.partial(jax.jit, static_argnames=("denoise_fn", "audio_length",
-                                             "n_steps", "ddim"))
+                                             "n_steps", "ddim", "state_ncl"))
 def _jitted_sample(denoise_fn, key, mel, beta, alpha, sigma, steps,
-                   audio_length, n_steps, ddim):
+                   audio_length, n_steps, ddim, state_ncl=False):
     constants = SamplerConstants(beta=beta, alpha=alpha, sigma=sigma, steps=steps)
     return sampling_given_noise_schedule(
-        denoise_fn, key, mel, constants, audio_length, ddim=ddim)
+        denoise_fn, key, mel, constants, audio_length, ddim=ddim,
+        state_ncl=state_ncl)
 
 
 def make_sampler(denoise_fn: Callable, constants: SamplerConstants,
@@ -108,13 +123,13 @@ def make_sampler(denoise_fn: Callable, constants: SamplerConstants,
 
 
 @functools.partial(jax.jit, static_argnames=("apply_fn", "audio_length",
-                                             "n_steps", "ddim"))
+                                             "n_steps", "ddim", "state_ncl"))
 def _jitted_param_sample(apply_fn, params, key, mel, beta, alpha, sigma,
-                         steps, audio_length, n_steps, ddim):
+                         steps, audio_length, n_steps, ddim, state_ncl=False):
     constants = SamplerConstants(beta=beta, alpha=alpha, sigma=sigma, steps=steps)
     return sampling_given_noise_schedule(
         lambda x, m, t: apply_fn(params, x, m, t), key, mel, constants,
-        audio_length, ddim=ddim)
+        audio_length, ddim=ddim, state_ncl=state_ncl)
 
 
 def make_param_sampler(apply_fn: Callable, constants: SamplerConstants,

@@ -121,6 +121,28 @@ def test_sampling_runs_and_shapes():
     assert np.isfinite(np.asarray(wav)).all()
 
 
+def test_sampling_state_layouts_bit_identical():
+    """The NCL (B, 1, L) scan state (the TPU layout fix, docs/PERF.md) must
+    produce BIT-identical output to the (B, L, 1) state: same RNG draw
+    order, elementwise updates, byte-exact boundary reshapes at C == 1."""
+    cfg = DiffusionConfig()
+    hp = schedules.compute_hyperparams_given_schedule(
+        schedules.linear_beta_schedule(cfg))
+    const = schedules.sampler_constants_for_schedule(
+        schedules.noise_schedule_for_steps(4), hp)
+
+    def fake_denoiser(x, mel, t):
+        assert x.shape[-1] == 1  # the model always sees (B, L, 1)
+        return 0.1 * x + 0.01 * jnp.cumsum(x, axis=1)
+
+    mel = jnp.zeros((2, 4, 8))
+    outs = [sampling_given_noise_schedule(
+        fake_denoiser, jax.random.PRNGKey(3), mel, const, audio_length=64,
+        state_ncl=ncl) for ncl in (False, True)]
+    assert outs[0].shape == outs[1].shape == (2, 64, 1)
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
+
+
 def test_sampling_denoises_toward_condition_free_signal():
     """With a perfect epsilon oracle for a fixed x0, sampling at N=1000 should
     recover something close to x0."""

@@ -286,6 +286,45 @@ def _kernel_predictor_apply_aug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     return ka.reshape(b, frames, layers, rows, cout)
 
 
+def _taug_head_operands(p: dict, cond: jnp.ndarray, cfg: ModelConfig, dtype):
+    """Shared construction for the transposed-augmented predictor head:
+    trunk taps (B, F, ksz*hid) + merged head weights (ksz*hid,
+    layers*2Cin*rows_p) bf16 + bias (1, layers*2Cin*rows_p) f32, with the
+    rows dimension zero-padded to the 128 lane tile (see
+    _kernel_predictor_apply_taug for why the padding matters)."""
+    cin = cfg.inner_channels
+    cout = 2 * cfg.inner_channels
+    layers = cfg.lvc_layers_each_block
+    k = cfg.lvc_kernel_size
+    rows = k * cin + 1
+    rows_p = ((rows + 127) // 128) * 128
+
+    kw = fnn.conv_weight(p["kernel_conv"])       # (ksz, hid, layers*K*Cin*2Cin)
+    bw = fnn.conv_weight(p["bias_conv"])         # (ksz, hid, layers*2Cin)
+    ksz, hid, _ = kw.shape
+    aw = jnp.concatenate(
+        [kw.reshape(ksz, hid, layers, k * cin, cout),
+         bw.reshape(ksz, hid, layers, 1, cout)], axis=3)
+    aw = jnp.swapaxes(aw, 3, 4)                  # (ksz, hid, layers, cout, rows)
+    aw = jnp.pad(aw, ((0, 0),) * 4 + ((0, rows_p - rows),))
+    w_head = aw.reshape(ksz * hid, layers * cout * rows_p).astype(dtype)
+    ab = jnp.concatenate(
+        [p["kernel_conv"]["b"].reshape(layers, k * cin, cout),
+         p["bias_conv"]["b"].reshape(layers, 1, cout)], axis=1)
+    ab = jnp.swapaxes(ab, 1, 2)                  # (layers, cout, rows)
+    b_head = jnp.pad(ab, ((0, 0), (0, 0), (0, rows_p - rows))).reshape(
+        1, -1).astype(jnp.float32)
+
+    c = _kp_trunk(p, cond, cfg, dtype)
+    b, frames, _ = c.shape
+    pad = (ksz - 1) // 2
+    cp = jnp.pad(c.astype(dtype), ((0, 0), (pad, pad), (0, 0)))
+    taps = [jax.lax.slice_in_dim(cp, t, t + frames, axis=1)
+            for t in range(ksz)]
+    tap_c = jnp.concatenate(taps, axis=-1)       # (B, F, ksz*hid)
+    return tap_c, w_head, b_head, rows_p
+
+
 def _kernel_predictor_apply_taug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
                                  dtype) -> jnp.ndarray:
     """cond (B, T', cond_ch) -> TRANSPOSED augmented LVC operand
@@ -302,52 +341,32 @@ def _kernel_predictor_apply_taug(p: dict, cond: jnp.ndarray, cfg: ModelConfig,
     head+reshape slope-times 0.546 -> 0.144 ms per block call.  The NCL
     megakernel consumes the padded operand natively (lvc_block_ncl_aug
     slices the zero tail back off in registers)."""
-    cin = cfg.inner_channels
     cout = 2 * cfg.inner_channels
     layers = cfg.lvc_layers_each_block
-    k = cfg.lvc_kernel_size
-    rows = k * cin + 1
-    rows_p = ((rows + 127) // 128) * 128         # lane-tile padded row count
 
-    kw = fnn.conv_weight(p["kernel_conv"])       # (ksz, hid, layers*K*Cin*2Cin)
-    bw = fnn.conv_weight(p["bias_conv"])         # (ksz, hid, layers*2Cin)
-    ksz, hid, _ = kw.shape
-    aw = jnp.concatenate(
-        [kw.reshape(ksz, hid, layers, k * cin, cout),
-         bw.reshape(ksz, hid, layers, 1, cout)], axis=3)
-    aw = jnp.swapaxes(aw, 3, 4)                  # (ksz, hid, layers, cout, rows)
-    aw = jnp.pad(aw, ((0, 0),) * 4 + ((0, rows_p - rows),))
-    aug_w = aw.reshape(ksz, hid, layers * cout * rows_p)
-    ab = jnp.concatenate(
-        [p["kernel_conv"]["b"].reshape(layers, k * cin, cout),
-         p["bias_conv"]["b"].reshape(layers, 1, cout)], axis=1)
-    ab = jnp.swapaxes(ab, 1, 2)                  # (layers, cout, rows)
-    aug_b = jnp.pad(ab, ((0, 0), (0, 0), (0, rows_p - rows))).reshape(-1)
-
-    c = _kp_trunk(p, cond, cfg, dtype)
-    b, frames, _ = c.shape
+    tap_c, w_head, b_head, rows_p = _taug_head_operands(p, cond, cfg, dtype)
+    b, frames, khead = tap_c.shape
     backend = jax.default_backend()
     if backend == "gpu":
-        ka = fnn.conv1d({"w": aug_w, "b": aug_b}, c, compute_dtype=dtype,
+        ksz = cfg.kpnet_conv_size
+        ka = fnn.conv1d({"w": w_head.reshape(ksz, khead // ksz, -1),
+                         "b": b_head.reshape(-1)},
+                        _kp_trunk(p, cond, cfg, dtype), compute_dtype=dtype,
                         impl=cfg.conv_impl)
         return ka.reshape(b, frames, layers, cout, rows_p)
     from fastdiff_tpu.ops.lvc_block_pallas import (aug_head_matmul,
                                                    taug_head_matmul_5d)
-    pad = (ksz - 1) // 2
-    cp = jnp.pad(c.astype(dtype), ((0, 0), (pad, pad), (0, 0)))
-    taps = [jax.lax.slice_in_dim(cp, t, t + frames, axis=1)
-            for t in range(ksz)]
-    tap_c = jnp.concatenate(taps, axis=-1).reshape(b * frames, ksz * hid)
+    tap_2d = tap_c.reshape(b * frames, khead)
     if cout % 8 == 0:
         # canonical-layout emission: the megakernel's 5D operand comes out
         # of the head already tiled (cout, rows)-minor, so no relayout copy
         # ever materializes between head and megakernel
         ka = taug_head_matmul_5d(
-            tap_c, aug_w.reshape(ksz * hid, -1).astype(dtype), aug_b,
+            tap_2d, w_head, b_head.reshape(-1),
             layers, cout, rows_p, interpret=(backend == "cpu"))
         return ka.reshape(b, frames, layers, cout, rows_p)
-    ka = aug_head_matmul(tap_c, aug_w.reshape(ksz * hid, -1).astype(dtype),
-                         aug_b, interpret=(backend == "cpu"))
+    ka = aug_head_matmul(tap_2d, w_head, b_head.reshape(-1),
+                         interpret=(backend == "cpu"))
     return ka.reshape(b, frames, layers, cout, rows_p)
 
 
@@ -457,7 +476,7 @@ def _dblock_apply_ncl(p: dict, x: jnp.ndarray, factor: int, dtype,
 def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
                          mel: jnp.ndarray, t_emb: jnp.ndarray, ratio: int,
                          hop: int, cfg: ModelConfig, dtype,
-                         final_wb=None):
+                         final_wb=None, fused_head: bool = False):
     """``_lvc_block_apply`` twin for NCL activations: x (B, C, L/ratio),
     skip (B, C, L) -> (B, C, L).  Fusable blocks call the NCL megakernel
     directly (no NWC<->NCL boundary transposes at all); the non-fusable
@@ -465,11 +484,15 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
 
     ``final_wb`` (8, C): when given and the block is fused, the model's
     final k=7 C->1 conv runs as an in-kernel epilogue and the return is
-    (block_out, final_out (B, 1, L) f32)."""
+    (block_out, final_out (B, 1, L) f32).
+
+    ``fused_head``: run the predictor-head matmul INSIDE the megakernel
+    (lvc_block_ncl_fh) so the 5D kern_taug operand never exists in HBM."""
     noise = fnn.dense(p["fc_t"], t_emb, compute_dtype=dtype)     # (B, cond_ch)
     cond = mel + noise[:, None, :].astype(mel.dtype)
 
     from fastdiff_tpu.ops.lvc_block_ncl import (fusable, lvc_block_ncl_aug,
+                                                lvc_block_ncl_fh,
                                                 wstack_t_from)
     use_fused = fusable(hop, mel.shape[1])
 
@@ -481,12 +504,19 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
 
     if use_fused:
         from fastdiff_tpu.ops.lvc_block_pallas import stack_conv_weights
-        kern_taug = _kernel_predictor_apply_taug(
-            p["kernel_predictor"], cond, cfg, dtype)
         wstack = stack_conv_weights(
             [fnn.conv_weight(cv) for cv in p["convs"]],
             [cv["b"] for cv in p["convs"]], dtype=dtype)
         interp = jax.default_backend() == "cpu"
+        if fused_head and 2 * cfg.inner_channels % 8 == 0:
+            tap_c, w_head, b_head, _ = _taug_head_operands(
+                p["kernel_predictor"], cond, cfg, dtype)
+            return lvc_block_ncl_fh(x.astype(dtype), skip.astype(dtype),
+                                    tap_c.astype(dtype), w_head, b_head,
+                                    wstack_t_from(wstack).astype(dtype), hop,
+                                    interpret=interp, final_wb=final_wb)
+        kern_taug = _kernel_predictor_apply_taug(
+            p["kernel_predictor"], cond, cfg, dtype)
         return lvc_block_ncl_aug(x.astype(dtype), skip.astype(dtype),
                                  kern_taug.astype(dtype),
                                  wstack_t_from(wstack).astype(dtype), hop,
@@ -508,7 +538,8 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
 
 
 def _fastdiff_apply_ncl(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
-                        t: jnp.ndarray, cfg: ModelConfig, dtype) -> jnp.ndarray:
+                        t: jnp.ndarray, cfg: ModelConfig, dtype,
+                        fused_head: bool = False) -> jnp.ndarray:
     """Full NCL (time-in-lanes) inference forward.
 
     Same math as ``fastdiff_apply``'s NWC path, but every activation is
@@ -556,7 +587,7 @@ def _fastdiff_apply_ncl(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
         out = _lvc_block_apply_ncl(
             lvcb, x, skip, mel.astype(dtype), emb,
             cfg.upsample_ratios[n], hops[n], cfg, dtype,
-            final_wb=final_wb if last else None)
+            final_wb=final_wb if last else None, fused_head=fused_head)
         if last and isinstance(out, (tuple, list)):
             return jnp.reshape(out[1], (b, length, 1))
         x = out
@@ -572,8 +603,9 @@ def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
     Returns (B, T, 1). Requires T == T' * prod(upsample_ratios).
     """
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    if cfg.use_pallas_block == "ncl":
-        return _fastdiff_apply_ncl(params, audio, mel, t, cfg, dtype)
+    if cfg.use_pallas_block in ("ncl", "ncl_fh"):
+        return _fastdiff_apply_ncl(params, audio, mel, t, cfg, dtype,
+                                   fused_head=cfg.use_pallas_block == "ncl_fh")
 
     emb = diffusion_step_embedding(t, cfg.diffusion_step_embed_dim_in)
     emb = fnn.swish(fnn.dense(params["fc_t1"], emb))

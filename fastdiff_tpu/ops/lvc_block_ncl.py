@@ -77,17 +77,60 @@ def _roll_lanes(arr, shift):
     return pltpu.roll(arr.astype(jnp.float32), shift % n, 1).astype(arr.dtype)
 
 
-def _kernel_body_final(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack,
-                       wfin, out_ref, fin_ref, *, hop: int, layers: int,
-                       c: int, length: int, tile_s: int, halo: int):
-    """``_kernel_body`` + fused final-conv epilogue (the model's k=7, C->1
-    output projection).  As a standalone op the degenerate-output conv costs
-    0.56 ms/sampler at b=1 (2.2 at b=4) in 1D T(1024) layouts; in-kernel it
-    is 7 lane-rolls + a sublane reduction on the already-resident carry.
-    ``wfin`` is (8, c): rows 0..6 the taps, row 7 broadcasting the bias."""
-    carry = _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack,
-                         out_ref, hop=hop, layers=layers, c=c, length=length,
-                         tile_s=tile_s, halo=halo)
+def _compute_kern_slabs(tc, lht, rht, w_head, b_head, *, layers: int,
+                        c: int, rows_p: int):
+    """In-kernel fused predictor head: trunk taps (F_e, K) @ per-layer head
+    weights (K, 2C*rows_p) + bias -> list of (F_e, 2C, rows_p) bf16 kernel
+    slabs.  Replaces the HBM round trip of the model's largest activation
+    (the 5D kern_taug operand: ~59 MB written by the standalone head +
+    ~59 MB re-read by the megakernel, per block call at bench shapes) with
+    a recompute from the tiny trunk operand (F_e, K = 192).  Same math as
+    taug_head_matmul_5d (f32 accumulate + bias, then cast) — bit-exact
+    parity with the unfused head."""
+    tap = jnp.concatenate([lht[0], tc[0], rht[0]], axis=0)        # (F_e, K)
+    cout = 2 * c
+    n_slab = cout * rows_p
+    slabs = []
+    for i in range(layers):
+        w_i = w_head[:, i * n_slab: (i + 1) * n_slab]             # (K, n_slab)
+        b_i = b_head[:, i * n_slab: (i + 1) * n_slab]             # (1, n_slab)
+        acc = jax.lax.dot_general(
+            tap, w_i, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = (acc + b_i).astype(tap.dtype)                       # (F_e, n_slab)
+        slabs.append(acc.reshape(tap.shape[0], cout, rows_p))
+    return slabs
+
+
+def _kernel_body_fh(xc, lhx, rhx, skc, lhs, rhs, tc, lht, rht, w_head,
+                    b_head, wstack, out_ref, *, hop: int, layers: int,
+                    c: int, length: int, tile_s: int, halo: int,
+                    rows_p: int):
+    kern = _compute_kern_slabs(tc, lht, rht, w_head, b_head, layers=layers,
+                               c=c, rows_p=rows_p)
+    _kernel_core(xc, lhx, rhx, skc, lhs, rhs, None, None, None, wstack,
+                 out_ref, hop=hop, layers=layers, c=c, length=length,
+                 tile_s=tile_s, halo=halo, kern_slabs=kern)
+
+
+def _kernel_body_fh_final(xc, lhx, rhx, skc, lhs, rhs, tc, lht, rht, w_head,
+                          b_head, wstack, wfin, out_ref, fin_ref, *,
+                          hop: int, layers: int, c: int, length: int,
+                          tile_s: int, halo: int, rows_p: int):
+    kern = _compute_kern_slabs(tc, lht, rht, w_head, b_head, layers=layers,
+                               c=c, rows_p=rows_p)
+    carry = _kernel_core(xc, lhx, rhx, skc, lhs, rhs, None, None, None,
+                         wstack, out_ref, hop=hop, layers=layers, c=c,
+                         length=length, tile_s=tile_s, halo=halo,
+                         kern_slabs=kern)
+    _final_conv_epilogue(carry, wfin, fin_ref, length=length, tile_s=tile_s,
+                         halo=halo)
+
+
+def _final_conv_epilogue(carry, wfin, fin_ref, *, length: int, tile_s: int,
+                         halo: int):
+    """The model's k=7, C->1 output projection on the resident carry
+    (see _kernel_body_final)."""
     ext_e = tile_s + 2 * halo
     ti = pl.program_id(1)
     gpos = (jax.lax.broadcasted_iota(jnp.int32, (1, ext_e), 1)
@@ -104,6 +147,21 @@ def _kernel_body_final(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack,
     fin_ref[0] = fc[:, halo: halo + tile_s]
 
 
+def _kernel_body_final(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack,
+                       wfin, out_ref, fin_ref, *, hop: int, layers: int,
+                       c: int, length: int, tile_s: int, halo: int):
+    """``_kernel_body`` + fused final-conv epilogue (the model's k=7, C->1
+    output projection).  As a standalone op the degenerate-output conv costs
+    0.56 ms/sampler at b=1 (2.2 at b=4) in 1D T(1024) layouts; in-kernel it
+    is 7 lane-rolls + a sublane reduction on the already-resident carry.
+    ``wfin`` is (8, c): rows 0..6 the taps, row 7 broadcasting the bias."""
+    carry = _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack,
+                         out_ref, hop=hop, layers=layers, c=c, length=length,
+                         tile_s=tile_s, halo=halo)
+    _final_conv_epilogue(carry, wfin, fin_ref, length=length, tile_s=tile_s,
+                         halo=halo)
+
+
 def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
                  *, hop: int, layers: int, c: int, length: int,
                  tile_s: int, halo: int):
@@ -114,19 +172,26 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
 
 def _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
                  *, hop: int, layers: int, c: int, length: int,
-                 tile_s: int, halo: int):
+                 tile_s: int, halo: int, kern_slabs=None):
     ext_e = tile_s + 2 * halo
     fe = ext_e // hop
     ti = pl.program_id(1)
 
     carry = jnp.concatenate([lhx[0], xc[0], rhx[0]], axis=1)      # (C, E)
     skip = jnp.concatenate([lhs[0], skc[0], rhs[0]], axis=1)      # (C, E)
-    kern = jnp.concatenate([lhk[0], kc[0], rhk[0]], axis=0)       # (Fe,l,2C,R)
     rows = aug_rows(c)
-    if kern.shape[-1] != rows:
-        # 128-row padded operand (the head emits it byte-exactly, no
-        # relayout); the tail rows are zeros — slice back to 3C+1
-        kern = kern[..., :rows]
+    if kern_slabs is not None:
+        # fused-head path: per-layer (Fe, 2C, rows_p) slabs computed
+        # in-kernel from the trunk operand (_compute_kern_slabs)
+        kern = None
+        slabs = [s[..., :rows] if s.shape[-1] != rows else s
+                 for s in kern_slabs]
+    else:
+        kern = jnp.concatenate([lhk[0], kc[0], rhk[0]], axis=0)   # (Fe,l,2C,R)
+        if kern.shape[-1] != rows:
+            # 128-row padded operand (the head emits it byte-exactly, no
+            # relayout); the tail rows are zeros — slice back to 3C+1
+            kern = kern[..., :rows]
 
     gpos = (jax.lax.broadcasted_iota(jnp.int32, (1, ext_e), 1)
             + ti * tile_s - halo)
@@ -148,11 +213,12 @@ def _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
 
         tap = jnp.concatenate(
             [_roll_lanes(y, 1), y, _roll_lanes(y, -1), ones], axis=0)
+        k_i = slabs[i] if kern_slabs is not None else kern[:, i]  # (Fe,2C,R)
         zs = []
         for f in range(fe):
             win = jax.lax.slice_in_dim(tap, f * hop, (f + 1) * hop, axis=1)
             zs.append(jax.lax.dot_general(
-                kern[f, i], win, dimension_numbers=(((1,), (0,)), ((), ())),
+                k_i[f], win, dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32))              # (2C, hop)
         z = jnp.concatenate(zs, axis=1)                           # (2C, E)
         gate = jax.nn.sigmoid(z[:c]) * jnp.tanh(z[c:])
@@ -287,6 +353,120 @@ def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
         out_shape=jax.ShapeDtypeStruct((b, c, length), x.dtype),
         **common,
     )(x, x, x, skip, skip, skip, kern_taug, kern_taug, kern_taug, wstack_t)
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "interpret",
+                                             "tile_frames"))
+def lvc_block_ncl_fh(x, skip, tap_c, w_head, b_head, wstack_t, hop: int,
+                     interpret: bool = False,
+                     tile_frames: int | None = None,
+                     final_wb=None):
+    """Fused-head NCL megakernel: the kernel-predictor HEAD matmul runs
+    inside the block kernel, so the 5D ``kern_taug`` operand (the model's
+    largest activation, ~59 MB/block-call at bench shapes) never exists in
+    HBM — each grid cell recomputes its own kernel slab from the tiny trunk
+    operand.
+
+        x, skip:  (B, C, L)            bf16, time-minor
+        tap_c:    (B, F, K)            bf16 trunk taps (K = ksz * hidden)
+        w_head:   (K, layers*2C*rows_p) bf16 merged head weights, rows
+                  zero-padded to the 128 lane tile (see
+                  _kernel_predictor_apply_taug)
+        b_head:   (1, layers*2C*rows_p) f32 merged head bias
+        -> (B, C, L) [+ (B, 1, L) f32 with ``final_wb``]
+
+    Same math as taug_head_matmul_5d -> lvc_block_ncl_aug (f32 accumulate +
+    bias then bf16 cast): bit-exact parity with the two-kernel path."""
+    b, c, length = x.shape
+    _, frames, khead = tap_c.shape
+    assert length == frames * hop, (length, frames, hop)
+    rows = aug_rows(c)
+    rows_p = ((rows + 127) // 128) * 128
+    n_slab = 2 * c * rows_p
+    layers = w_head.shape[1] // n_slab
+    assert w_head.shape[1] == layers * n_slab, (w_head.shape, n_slab)
+    tf = tile_frames if tile_frames else _pick_tile_frames(frames, hop)
+    n_tiles = frames // tf
+    tile_s = tf * hop
+    halo = max(hop, _MIN_HALO, 128)
+    while halo % 128 or halo % hop:
+        halo += hop
+    hf = halo // hop
+    if tf % hf or (tf * hop) % halo:
+        divisors = [t for t in range(hf, frames + 1, hf)
+                    if frames % t == 0 and (t * hop) % halo == 0]
+        tf = min(divisors, key=lambda t: abs(t - tf))
+        n_tiles = frames // tf
+        tile_s = tf * hop
+    r = tile_s // halo
+    rk = tf // hf
+    n_halo_x = length // halo
+    n_halo_k = frames // hf
+    grid = (b, n_tiles)
+
+    x_spec = pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
+                          memory_space=pltpu.VMEM)
+
+    def x_halo(side):
+        def imap(bi, ti):
+            if side == "l":
+                return (bi, 0, jnp.maximum(ti * r - 1, 0))
+            return (bi, 0, jnp.minimum(ti * r + r, n_halo_x - 1))
+        return pl.BlockSpec((1, c, halo), imap, memory_space=pltpu.VMEM)
+
+    t_spec = pl.BlockSpec((1, tf, khead), lambda bi, ti: (bi, ti, 0),
+                          memory_space=pltpu.VMEM)
+
+    def t_halo(side):
+        def imap(bi, ti):
+            if side == "l":
+                return (bi, jnp.maximum(ti * rk - 1, 0), 0)
+            return (bi, jnp.minimum(ti * rk + rk, n_halo_k - 1), 0)
+        return pl.BlockSpec((1, hf, khead), imap, memory_space=pltpu.VMEM)
+
+    wh_spec = pl.BlockSpec((khead, layers * n_slab), lambda bi, ti: (0, 0),
+                           memory_space=pltpu.VMEM)
+    bh_spec = pl.BlockSpec((1, layers * n_slab), lambda bi, ti: (0, 0),
+                           memory_space=pltpu.VMEM)
+    wrows = wstack_t.shape[-1]
+    wspec = pl.BlockSpec((layers, c, wrows), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    common = dict(
+        grid=grid,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2 ** 20),
+        interpret=interpret,
+    )
+    in_specs = [x_spec, x_halo("l"), x_halo("r"),
+                x_spec, x_halo("l"), x_halo("r"),
+                t_spec, t_halo("l"), t_halo("r"), wh_spec, bh_spec, wspec]
+    out_spec = pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
+                            memory_space=pltpu.VMEM)
+    kw = dict(hop=hop, layers=layers, c=c, length=length, tile_s=tile_s,
+              halo=halo, rows_p=rows_p)
+    if final_wb is not None:
+        wfin_spec = pl.BlockSpec((8, c), lambda bi, ti: (0, 0),
+                                 memory_space=pltpu.VMEM)
+        fin_spec = pl.BlockSpec((1, 1, tile_s), lambda bi, ti: (bi, 0, ti),
+                                memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            functools.partial(_kernel_body_fh_final, **kw),
+            in_specs=in_specs + [wfin_spec],
+            out_specs=[out_spec, fin_spec],
+            out_shape=[jax.ShapeDtypeStruct((b, c, length), x.dtype),
+                       jax.ShapeDtypeStruct((b, 1, length), jnp.float32)],
+            **common,
+        )(x, x, x, skip, skip, skip, tap_c, tap_c, tap_c, w_head, b_head,
+          wstack_t, final_wb)
+    return pl.pallas_call(
+        functools.partial(_kernel_body_fh, **kw),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, c, length), x.dtype),
+        **common,
+    )(x, x, x, skip, skip, skip, tap_c, tap_c, tap_c, w_head, b_head,
+      wstack_t)
 
 
 # ---------------------------------------------------------------------------

@@ -56,9 +56,7 @@ def health_gate():
     return ms
 
 
-def exp_a():
-    print("== A: sampler state layout ==")
-    cfg = ModelConfig(use_pallas_block="ncl")
+def _sampler_setup(batch=1):
     params = M.init_fastdiff(jax.random.PRNGKey(0),
                              ModelConfig(use_pallas_block=False))
     hp = schedules.compute_hyperparams_given_schedule(
@@ -67,12 +65,17 @@ def exp_a():
         schedules.noise_schedule_for_steps(4), hp)
     frames = _bench_frames()
     mel = jnp.asarray(np.random.default_rng(0).standard_normal(
-        (1, frames, 80)), jnp.float32)
-    fn = M.get_apply_fn(cfg)
-    denoise = functools.partial(fn, params)
-    length = frames * HOP
+        (batch, frames, 80)), jnp.float32)
     args = (jnp.asarray(const.beta), jnp.asarray(const.alpha),
             jnp.asarray(const.sigma), jnp.asarray(const.steps))
+    return params, const, mel, frames * HOP, args
+
+
+def exp_a():
+    print("== A: sampler state layout ==")
+    params, const, mel, length, args = _sampler_setup()
+    denoise = functools.partial(M.get_apply_fn(
+        ModelConfig(use_pallas_block="ncl")), params)
 
     outs = {}
     for ncl in (False, True):
@@ -88,6 +91,31 @@ def exp_a():
         print(f"| state_ncl={ncl}: sampler {ms:.2f} ms -> {rt:.0f}x realtime")
     d = np.max(np.abs(outs[False] - outs[True]))
     print(f"| max |diff| between layouts: {d:.3e} (expect 0 — same RNG bits)")
+
+
+def exp_d():
+    print("== D: fused-head megakernel (ncl vs ncl_fh), b=1 and b=4 ==")
+    for batch in (1, 4):
+        params, const, mel, length, args = _sampler_setup(batch)
+        outs = {}
+        for blk in ("ncl", "ncl_fh"):
+            denoise = functools.partial(M.get_apply_fn(
+                ModelConfig(use_pallas_block=blk)), params)
+
+            def run(key, d=denoise):
+                return _jitted_sample(d, key, mel, *args, length,
+                                      const.n_steps, False, state_ncl=True)
+            out = run(jax.random.PRNGKey(1))
+            force(out)
+            outs[blk] = np.asarray(out)
+            ms = device_timer_slope(lambda: run(jax.random.PRNGKey(1)),
+                                    n1=4, n2=16, reps=3)
+            per = ms / batch
+            rt = SECONDS / (per / 1e3)
+            print(f"| b={batch} {blk}: sampler {ms:.2f} ms "
+                  f"({per:.2f}/item -> {rt:.0f}x realtime aggregate)")
+        d = np.max(np.abs(outs["ncl"] - outs["ncl_fh"]))
+        print(f"| b={batch} max |ncl - ncl_fh|: {d:.3e} (expect 0)")
 
 
 def _taug_head_variant(tap_c, w_head, b_head, layers, cout, rows,
@@ -202,7 +230,7 @@ def exp_c():
 
 
 def main():
-    which = set(sys.argv[1:]) or {"A", "B", "C"}
+    which = set(sys.argv[1:]) or {"A", "B", "C", "D"}
     health_gate()
     if "B" in which:
         exp_b()
@@ -210,6 +238,8 @@ def main():
         exp_c()
     if "A" in which:
         exp_a()
+    if "D" in which:
+        exp_d()
 
 
 if __name__ == "__main__":

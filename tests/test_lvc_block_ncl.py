@@ -165,6 +165,28 @@ def test_model_integration_ncl():
                                rtol=3e-4, atol=3e-4)
 
 
+def test_model_integration_ncl_fused_head():
+    """use_pallas_block='ncl_fh' (predictor-head matmul fused INTO the
+    megakernel — the kern_taug operand never exists in HBM) must be
+    BIT-exact against the two-kernel 'ncl' path: same f32-accumulate +
+    bias + bf16-cast math, just computed per grid cell."""
+    from fastdiff_tpu.config import ModelConfig
+    from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+
+    kw = dict(inner_channels=32, cond_channels=80, upsample_ratios=(8, 8, 4))
+    params = init_fastdiff(jax.random.PRNGKey(0), ModelConfig(**kw))
+    rng = np.random.default_rng(2)
+    frames = 32                      # hop-8 block fusable: frames % 16 == 0
+    audio = jnp.asarray(rng.normal(size=(2, frames * 256, 1)), jnp.float32)
+    mel = jnp.asarray(rng.normal(size=(2, frames, 80)), jnp.float32)
+    t = jnp.full((2, 1), 37.4, jnp.float32)
+    ref = fastdiff_apply(params, audio, mel, t,
+                         ModelConfig(use_pallas_block="ncl", **kw))
+    out = fastdiff_apply(params, audio, mel, t,
+                         ModelConfig(use_pallas_block="ncl_fh", **kw))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_model_integration_ncl_vjp_trainable():
     """use_pallas_block='ncl_vjp' (the trainable NCL route: megakernel
     forward, unfused-recompute backward) matches the XLA forward and

@@ -124,6 +124,10 @@ def main():
         # 'auto' production path (round 3): NCL time-in-lanes megakernel
         candidates["pallas_ncl"] = dataclasses.replace(
             cfg_xla, use_pallas_block="ncl")
+        # r4b candidate: predictor head fused INTO the megakernel (the 5D
+        # kern_taug operand never exists in HBM); bit-exact vs pallas_ncl
+        candidates["pallas_ncl_fh"] = dataclasses.replace(
+            cfg_xla, use_pallas_block="ncl_fh")
     times = {name: measure(cfg) for name, cfg in candidates.items()}
     best_name = min(times, key=times.get)
     dt = times[best_name]

@@ -100,8 +100,8 @@ def resolve_pallas_block(hp: dict):
     raw = hp.get("use_pallas_block", "auto")
     if isinstance(raw, str):
         low = raw.strip().lower()
-        if low == "ncl":
-            return "ncl"
+        if low in ("ncl", "ncl_fh"):
+            return low
         if low in ("auto", ""):
             # backend-aware: the NCL megakernel targets the TPU; on CPU the
             # kernel would run in Mosaic interpret mode (orders of magnitude

@@ -77,17 +77,35 @@ def _roll_lanes(arr, shift):
     return pltpu.roll(arr.astype(jnp.float32), shift % n, 1).astype(arr.dtype)
 
 
-def _compute_kern_slabs(tc, lht, rht, w_head, b_head, *, layers: int,
-                        c: int, rows_p: int):
+def _compute_kern_slabs(tc, w_head, b_head, *, layers: int, c: int,
+                        rows_p: int, tf: int, hf: int, n_frames: int):
     """In-kernel fused predictor head: trunk taps (F_e, K) @ per-layer head
     weights (K, 2C*rows_p) + bias -> list of (F_e, 2C, rows_p) bf16 kernel
     slabs.  Replaces the HBM round trip of the model's largest activation
     (the 5D kern_taug operand: ~59 MB written by the standalone head +
     ~59 MB re-read by the megakernel, per block call at bench shapes) with
-    a recompute from the tiny trunk operand (F_e, K = 192).  Same math as
-    taug_head_matmul_5d (f32 accumulate + bias, then cast) — bit-exact
-    parity with the unfused head."""
-    tap = jnp.concatenate([lht[0], tc[0], rht[0]], axis=0)        # (F_e, K)
+    a recompute from the tiny resident trunk operand (F, K = 192).  Same
+    math as taug_head_matmul_5d (f32 accumulate + bias, then cast) —
+    bit-exact parity with the unfused head.
+
+    ``tc`` is the FULL (1, hfa + F + hfa, K) tap ref, zero-padded with
+    ``hfa = ceil(hf / 8) * 8`` frames each side (a per-frame halo BlockSpec
+    would need 8-divisible frame blocks, which hf = 1-2 is not, and Mosaic
+    must statically prove every dynamic sublane start is 8-aligned — so no
+    clamped starts either).  With the padding, every load start is
+    ``ti * tf + const`` with tf % 8 == 0: provably aligned, always
+    in-bounds.  Zero-pad edge halos produce garbage kernel slabs exactly
+    where the validity masks re-zero the carry — the same contract as the
+    clamped x/skip halo BlockSpecs."""
+    del n_frames
+    hfa = -(-hf // 8) * 8
+    ti = pl.program_id(1)
+    base = ti * tf
+    lh = tc[0, pl.ds(base, hfa)][hfa - hf:] if hfa != hf \
+        else tc[0, pl.ds(base, hfa)]
+    center = tc[0, pl.ds(base + hfa, tf)]                         # (tf, K)
+    rh = tc[0, pl.ds(base + hfa + tf, hfa)][:hf]
+    tap = jnp.concatenate([lh, center, rh], axis=0)               # (F_e, K)
     cout = 2 * c
     n_slab = cout * rows_p
     slabs = []
@@ -102,23 +120,26 @@ def _compute_kern_slabs(tc, lht, rht, w_head, b_head, *, layers: int,
     return slabs
 
 
-def _kernel_body_fh(xc, lhx, rhx, skc, lhs, rhs, tc, lht, rht, w_head,
+def _kernel_body_fh(xc, lhx, rhx, skc, lhs, rhs, tc, w_head,
                     b_head, wstack, out_ref, *, hop: int, layers: int,
                     c: int, length: int, tile_s: int, halo: int,
-                    rows_p: int):
-    kern = _compute_kern_slabs(tc, lht, rht, w_head, b_head, layers=layers,
-                               c=c, rows_p=rows_p)
+                    rows_p: int, tf: int, hf: int, n_frames: int):
+    kern = _compute_kern_slabs(tc, w_head, b_head, layers=layers,
+                               c=c, rows_p=rows_p, tf=tf, hf=hf,
+                               n_frames=n_frames)
     _kernel_core(xc, lhx, rhx, skc, lhs, rhs, None, None, None, wstack,
                  out_ref, hop=hop, layers=layers, c=c, length=length,
                  tile_s=tile_s, halo=halo, kern_slabs=kern)
 
 
-def _kernel_body_fh_final(xc, lhx, rhx, skc, lhs, rhs, tc, lht, rht, w_head,
+def _kernel_body_fh_final(xc, lhx, rhx, skc, lhs, rhs, tc, w_head,
                           b_head, wstack, wfin, out_ref, fin_ref, *,
                           hop: int, layers: int, c: int, length: int,
-                          tile_s: int, halo: int, rows_p: int):
-    kern = _compute_kern_slabs(tc, lht, rht, w_head, b_head, layers=layers,
-                               c=c, rows_p=rows_p)
+                          tile_s: int, halo: int, rows_p: int, tf: int,
+                          hf: int, n_frames: int):
+    kern = _compute_kern_slabs(tc, w_head, b_head, layers=layers,
+                               c=c, rows_p=rows_p, tf=tf, hf=hf,
+                               n_frames=n_frames)
     carry = _kernel_core(xc, lhx, rhx, skc, lhs, rhs, None, None, None,
                          wstack, out_ref, hop=hop, layers=layers, c=c,
                          length=length, tile_s=tile_s, halo=halo,
@@ -399,9 +420,7 @@ def lvc_block_ncl_fh(x, skip, tap_c, w_head, b_head, wstack_t, hop: int,
         n_tiles = frames // tf
         tile_s = tf * hop
     r = tile_s // halo
-    rk = tf // hf
     n_halo_x = length // halo
-    n_halo_k = frames // hf
     grid = (b, n_tiles)
 
     x_spec = pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
@@ -414,16 +433,16 @@ def lvc_block_ncl_fh(x, skip, tap_c, w_head, b_head, wstack_t, hop: int,
             return (bi, 0, jnp.minimum(ti * r + r, n_halo_x - 1))
         return pl.BlockSpec((1, c, halo), imap, memory_space=pltpu.VMEM)
 
-    t_spec = pl.BlockSpec((1, tf, khead), lambda bi, ti: (bi, ti, 0),
+    # the full (1, hfa+F+hfa, K) tap operand rides along per batch row
+    # (~350 KB at bench shapes); per-frame halo BlockSpecs would need
+    # 8-divisible frame blocks (hf is 1-2 at hops 256/64) — windows are cut
+    # in-kernel from 8-aligned zero-padded dynamic slices instead
+    # (_compute_kern_slabs)
+    hfa = -(-hf // 8) * 8
+    tap_c = jnp.pad(tap_c, ((0, 0), (hfa, hfa), (0, 0)))
+    t_spec = pl.BlockSpec((1, frames + 2 * hfa, khead),
+                          lambda bi, ti: (bi, 0, 0),
                           memory_space=pltpu.VMEM)
-
-    def t_halo(side):
-        def imap(bi, ti):
-            if side == "l":
-                return (bi, jnp.maximum(ti * rk - 1, 0), 0)
-            return (bi, jnp.minimum(ti * rk + rk, n_halo_k - 1), 0)
-        return pl.BlockSpec((1, hf, khead), imap, memory_space=pltpu.VMEM)
-
     wh_spec = pl.BlockSpec((khead, layers * n_slab), lambda bi, ti: (0, 0),
                            memory_space=pltpu.VMEM)
     bh_spec = pl.BlockSpec((1, layers * n_slab), lambda bi, ti: (0, 0),
@@ -440,11 +459,11 @@ def lvc_block_ncl_fh(x, skip, tap_c, w_head, b_head, wstack_t, hop: int,
     )
     in_specs = [x_spec, x_halo("l"), x_halo("r"),
                 x_spec, x_halo("l"), x_halo("r"),
-                t_spec, t_halo("l"), t_halo("r"), wh_spec, bh_spec, wspec]
+                t_spec, wh_spec, bh_spec, wspec]
     out_spec = pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
                             memory_space=pltpu.VMEM)
     kw = dict(hop=hop, layers=layers, c=c, length=length, tile_s=tile_s,
-              halo=halo, rows_p=rows_p)
+              halo=halo, rows_p=rows_p, tf=tf, hf=hf, n_frames=frames)
     if final_wb is not None:
         wfin_spec = pl.BlockSpec((8, c), lambda bi, ti: (0, 0),
                                  memory_space=pltpu.VMEM)
@@ -457,7 +476,7 @@ def lvc_block_ncl_fh(x, skip, tap_c, w_head, b_head, wstack_t, hop: int,
             out_shape=[jax.ShapeDtypeStruct((b, c, length), x.dtype),
                        jax.ShapeDtypeStruct((b, 1, length), jnp.float32)],
             **common,
-        )(x, x, x, skip, skip, skip, tap_c, tap_c, tap_c, w_head, b_head,
+        )(x, x, x, skip, skip, skip, tap_c, w_head, b_head,
           wstack_t, final_wb)
     return pl.pallas_call(
         functools.partial(_kernel_body_fh, **kw),
@@ -465,8 +484,7 @@ def lvc_block_ncl_fh(x, skip, tap_c, w_head, b_head, wstack_t, hop: int,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, length), x.dtype),
         **common,
-    )(x, x, x, skip, skip, skip, tap_c, tap_c, tap_c, w_head, b_head,
-      wstack_t)
+    )(x, x, x, skip, skip, skip, tap_c, w_head, b_head, wstack_t)
 
 
 # ---------------------------------------------------------------------------

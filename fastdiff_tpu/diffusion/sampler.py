@@ -55,6 +55,11 @@ def sampling_given_noise_schedule(
     alpha = jnp.asarray(constants.alpha)
     sigma = jnp.asarray(constants.sigma)
     steps = jnp.asarray(constants.steps)
+    # the final ancestral step adds no noise (util.py:228's i > 0 guard);
+    # zeroing the last sigma lets the scan body drop the full-length
+    # `where(is_last, ...)` select — 0.23 ms/sampler of (B, L) f32
+    # broadcast_select in the r4 trace.  x + 0.0 * z == x elementwise.
+    sigma_z = sigma.at[n_steps - 1].set(0.0)
 
     state_shape = ((batch, 1, audio_length) if state_ncl
                    else (batch, audio_length, 1))
@@ -67,7 +72,7 @@ def sampling_given_noise_schedule(
 
     def reverse_step(x, scan_in):
         i, k = scan_in
-        b_n, a_n, s_n, t_n = beta[i], alpha[i], sigma[i], steps[i]
+        b_n, a_n, s_n, t_n = beta[i], alpha[i], sigma_z[i], steps[i]
         t_vec = jnp.full((batch, 1), t_n, dtype=jnp.float32)
         eps = denoise_fn(x.reshape(nlc) if state_ncl else x, mel, t_vec)
         if state_ncl:
@@ -81,9 +86,8 @@ def sampling_given_noise_schedule(
         else:
             x = x - b_n / jnp.sqrt(1.0 - a_n ** 2) * eps
             x = x / jnp.sqrt(1.0 - b_n)
-            is_last = i == n_steps - 1
             noise = jax.random.normal(k, x.shape, dtype=x.dtype)
-            x = jnp.where(is_last, x, x + s_n * noise)
+            x = x + s_n * noise
         return x, x if return_sequence else None
 
     idx = jnp.arange(n_steps)

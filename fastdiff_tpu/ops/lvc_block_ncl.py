@@ -58,6 +58,19 @@ from jax.experimental.pallas import tpu as pltpu
 _MIN_FUSED_HOP = 8
 _MIN_HALO = 48
 
+# Blocks with hop <= FH_MAX_HOP run the predictor head INSIDE the megakernel
+# (lvc_block_ncl_fh) even under the plain "ncl" policy.  The r4 device trace
+# showed each block paying ~0.14 ms/step of kern_taug HBM traffic (the head
+# writes ~57 MB, the megakernel re-reads it — operand size depends on frame
+# count, not hop, so the hop-8 block pays the same traffic as the full-rate
+# block for 1/32 of the compute: 0.508 ms/sampler vs block 2's 1.387).
+# All-blocks fh LOST the sampler A/B (6.60 vs 7.23 ms, two sessions): at
+# hop 256 the tile has only ~34 frames, so the in-kernel head dots run at
+# M=34 of 128 MXU rows and cost more than the traffic they save.  At hop 8
+# the tile carries ~176 frames (M=176, efficient) and the block is
+# traffic-bound, so fusing the head there is the win without the loss.
+FH_MAX_HOP = 8
+
 
 def aug_rows(c: int, k: int = 3) -> int:
     return k * c + 1

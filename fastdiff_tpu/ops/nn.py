@@ -326,6 +326,29 @@ def conv1d_ncl(params: dict, x: jnp.ndarray, *, dilation: int = 1,
             acc = term if acc is None else acc + term
         y = jnp.sum(acc, axis=1, keepdims=True)
         return (y + params["b"][None, :, None]).astype(out_dtype)
+    b, c_in, c_out = x.shape[0], w.shape[1], w.shape[2]
+    if 2 <= b <= 8 and b * max(c_in, c_out) <= 256:
+        # merged-batch block-diagonal dot: at C=32 a per-item dot uses 32 of
+        # the MXU's 128 contraction rows, so a batched dot wastes 4x AND
+        # XLA lowers the batch dim to convolution fusions with bad layouts
+        # (b=4 trace: 1.94 ms/sampler on the block-2 upsampler dots alone).
+        # kron(I_B, w) makes one full-width (B*C_out, B*C_in) @ (B*C_in, L)
+        # dot — B^2/ (128/C)^2 extra FLOPs ride in lanes the MXU was
+        # padding anyway, and the batch dim disappears from the graph.
+        # Lane shifts act within each (b, i) row, so taps never cross items.
+        xm = xp.reshape(b * c_in, xp.shape[2])
+        eye = jnp.eye(b, dtype=w.dtype)
+        y = None
+        for tap in range(k):
+            xs = jax.lax.slice_in_dim(
+                xm, tap * dilation, tap * dilation + length, axis=1)
+            wb = jnp.kron(eye, jnp.transpose(w[tap]))      # (B*O, B*I)
+            term = jax.lax.dot_general(
+                wb, xs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            y = term if y is None else y + term
+        y = y.reshape(b, c_out, length)
+        return (y + params["b"][None, :, None]).astype(out_dtype)
     y = None
     for tap in range(k):
         xs = jax.lax.slice_in_dim(xp, tap * dilation, tap * dilation + length,
@@ -365,6 +388,15 @@ def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
     s_max = max(groups)
     xp = jnp.pad(x, ((0, 0), (0, 0), (-s_min, s_max)))
 
+    b = x.shape[0]
+    merge_b = 2 <= b <= 8 and b * max(c_in, stride * c_out) <= 1024
+    if merge_b:
+        # merged-batch block-diagonal dot — same trick and rationale as
+        # conv1d_ncl: the batched phase dots lowered to convolution fusions
+        # costing ~4.5x their b=1 rate at b=4 (r4 trace,
+        # convolution_add_fusion.151/152)
+        xm = xp.reshape(b * c_in, xp.shape[2])
+        eye = jnp.eye(b, dtype=w.dtype)
     y = None
     for s, taps in sorted(groups.items()):
         per_phase = [zero] * stride
@@ -373,11 +405,18 @@ def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
         # rows ordered (phase, c_out)
         b_s = jnp.transpose(jnp.stack(per_phase, axis=0),
                             (0, 2, 1)).reshape(stride * c_out, c_in)
-        xs = jax.lax.slice_in_dim(xp, s - s_min, s - s_min + length, axis=2)
-        term = jnp.einsum("ri,bil->brl", b_s, xs,
-                          preferred_element_type=jnp.float32)
+        if merge_b:
+            xs = jax.lax.slice_in_dim(xm, s - s_min, s - s_min + length,
+                                      axis=1)
+            term = jax.lax.dot_general(
+                jnp.kron(eye, b_s), xs, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)    # (B*r, L)
+        else:
+            xs = jax.lax.slice_in_dim(xp, s - s_min, s - s_min + length,
+                                      axis=2)
+            term = jnp.einsum("ri,bil->brl", b_s, xs,
+                              preferred_element_type=jnp.float32)
         y = term if y is None else y + term
-    b = x.shape[0]
     y = y.reshape(b, stride, c_out, length)
     # bias + output-dtype cast BEFORE the phase interleave: the interleave is
     # a physical (XLU) relayout of the full-rate activation, so running it at
@@ -396,15 +435,32 @@ def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
 def nearest_downsample_ncl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     """``nearest_downsample`` twin for NCL inputs (B, C, L).
 
-    Kept as the lane-strided slice: the strided-identity-conv alternative
-    measured faster in isolation (0.116 vs 0.136 ms at the full-rate
-    dblock) but 0.27 ms/forward SLOWER in the full NCL forward (r4 A/B) —
-    XLA's conv emitter wins the isolated layout game but loses the fusion
-    game in context.
+    Two bit-exact formulations, picked by (static) batch size from
+    in-context full-sampler A/Bs (scripts/exp_r4c.py, interleaved reps):
 
-    The (B, C) dims are merged before slicing: at b=4 XLA lowered the 3D
-    strided slice to a gather with a batch-minor [L/4, B, C] output layout
-    costing 17.7 ms/sampler (46x its b=1 cost, the single largest op in
-    the b=4 trace); the same slice on the merged 2D view stays sane."""
+    - b == 1: selection-MATMUL — group lanes into 512-wide tiles and
+      contract with a 0/1 selection matrix (one MXU dot, canonical
+      layouts).  The merged-2D strided slice at (32, L) rows lowered to a
+      gather + convert copy costing ~0.58 ms/sampler (r4 trace); the dot
+      variant measured 0.6-0.8 ms/sampler faster, 4/4 interleaved reps.
+    - b > 1: merged-2D lane-strided SLICE.  At b=4 the dot variant loses
+      its edge (3/4 reps slower); and the earlier 3D strided slice was
+      catastrophic — XLA lowered it to a batch-minor [L/4, B, C] gather
+      costing 17.7 ms/sampler (46x its b=1 cost).  The (B, C) dims are
+      merged before slicing so the layout stays sane.
+
+    (A strided-identity-conv variant also measured faster in isolation,
+    0.116 vs 0.136 ms, but 0.27 ms/forward SLOWER in context — XLA's conv
+    emitter wins the isolated layout game but loses the fusion game.)"""
     b, c, length = x.shape
+    groups = 512
+    if b == 1 and length % groups == 0 and groups % factor == 0:
+        sel = jnp.asarray(
+            np.equal.outer(np.arange(groups),
+                           np.arange(0, groups, factor)).astype(np.float32),
+            x.dtype)
+        xg = x.reshape(b * c, length // groups, groups)
+        y = jax.lax.dot_general(xg, sel, (((2,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        return y.astype(x.dtype).reshape(b, c, length // factor)
     return x.reshape(b * c, length)[:, ::factor].reshape(b, c, length // factor)

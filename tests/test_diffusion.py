@@ -167,3 +167,30 @@ def test_sampling_denoises_toward_condition_free_signal():
         oracle, jax.random.PRNGKey(0), mel, const, audio_length=256)
     err = float(jnp.sqrt(jnp.mean((wav - x0) ** 2)))
     assert err < 0.1, err
+
+
+def test_sampling_last_step_adds_no_noise():
+    """The final ancestral step must not add noise (reference util.py:228's
+    ``i > 0`` guard).  Implemented by zeroing the last sigma inside the
+    sampler (the full-length ``where(is_last, ...)`` select cost 0.23
+    ms/sampler on TPU, docs/PERF.md r4b): two runs whose constants differ
+    ONLY in sigma[-1] must be identical."""
+    import dataclasses
+
+    cfg = DiffusionConfig()
+    hp = schedules.compute_hyperparams_given_schedule(
+        schedules.linear_beta_schedule(cfg))
+    const = schedules.sampler_constants_for_schedule(
+        schedules.noise_schedule_for_steps(4), hp)
+    sig = np.asarray(const.sigma).copy()
+    sig[-1] = 1e6
+    const_poisoned = dataclasses.replace(const, sigma=jnp.asarray(sig))
+
+    def fake_denoiser(x, mel, t):
+        return 0.1 * x
+
+    mel = jnp.zeros((1, 4, 8))
+    outs = [sampling_given_noise_schedule(
+        fake_denoiser, jax.random.PRNGKey(7), mel, c, audio_length=64)
+        for c in (const, const_poisoned)]
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))

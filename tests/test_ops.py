@@ -163,3 +163,51 @@ def test_nearest_downsample_ncl_matches_nwc(rng):
     got = fnn.nearest_downsample_ncl(jnp.asarray(x.transpose(0, 2, 1)), 4)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1),
                                np.asarray(want))
+
+
+# --- batch-shape consistency of the TPU-tuned NCL formulations -------------
+# The NCL ops pick different bit-exact formulations by (static) batch size:
+# b == 1 -> selection-dot downsample + per-item dots; 2 <= b <= 8 ->
+# merged-batch block-diagonal dots (kron(I_B, W)); b > 8 -> batched einsum.
+# A batched call must equal the stack of per-item calls in every regime.
+
+@pytest.mark.parametrize("b", [4, 8, 9])
+def test_conv1d_ncl_batch_consistency(rng, b):
+    x = rng.standard_normal((b, 32, 96)).astype(np.float32)
+    p = {"w": jnp.asarray(rng.standard_normal((3, 32, 32)).astype(np.float32)
+                          * 0.1),
+         "b": jnp.asarray(rng.standard_normal((32,)).astype(np.float32))}
+    xj = jnp.asarray(x)
+    ref = jnp.concatenate([fnn.conv1d_ncl(p, xj[i:i + 1], dilation=2)
+                           for i in range(b)])
+    got = fnn.conv1d_ncl(p, xj, dilation=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+@pytest.mark.parametrize("b", [4, 8, 9])
+def test_conv_transpose1d_ncl_batch_consistency(rng, b):
+    x = rng.standard_normal((b, 32, 64)).astype(np.float32)
+    p = {"w": jnp.asarray(rng.standard_normal((8, 32, 32)).astype(np.float32)
+                          * 0.1),
+         "b": jnp.asarray(rng.standard_normal((32,)).astype(np.float32))}
+    xj = jnp.asarray(x)
+    ref = jnp.concatenate(
+        [fnn.conv_transpose1d_ncl(p, xj[i:i + 1], stride=4, torch_padding=2)
+         for i in range(b)])
+    got = fnn.conv_transpose1d_ncl(p, xj, stride=4, torch_padding=2)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_nearest_downsample_ncl_dot_path_exact(rng):
+    # length divisible by 512 at b=1 exercises the selection-matmul path;
+    # it must be bit-exact vs the strided slice (0/1 selection, one term)
+    x = rng.standard_normal((1, 32, 1024)).astype(np.float32)
+    xj = jnp.asarray(x)
+    got = fnn.nearest_downsample_ncl(xj, 4)
+    np.testing.assert_array_equal(np.asarray(got), x[:, :, ::4])
+    # and the b>1 merged-2D slice path agrees with per-item calls
+    xb = jnp.asarray(rng.standard_normal((4, 32, 1024)).astype(np.float32))
+    ref = jnp.concatenate([fnn.nearest_downsample_ncl(xb[i:i + 1], 4)
+                           for i in range(4)])
+    np.testing.assert_array_equal(
+        np.asarray(fnn.nearest_downsample_ncl(xb, 4)), np.asarray(ref))

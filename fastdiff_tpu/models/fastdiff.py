@@ -491,16 +491,18 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     noise = fnn.dense(p["fc_t"], t_emb, compute_dtype=dtype)     # (B, cond_ch)
     cond = mel + noise[:, None, :].astype(mel.dtype)
 
-    from fastdiff_tpu.ops.lvc_block_ncl import (FH_MAX_HOP, fusable,
-                                                lvc_block_ncl_aug,
+    from fastdiff_tpu.ops.lvc_block_ncl import (FH_MAX_B, FH_MAX_HOP,
+                                                fusable, lvc_block_ncl_aug,
                                                 lvc_block_ncl_fh,
                                                 wstack_t_from)
     use_fused = fusable(hop, mel.shape[1])
     # small-hop blocks are kern_taug-traffic-bound with frame-rich tiles:
     # the in-kernel head wins there even under the plain "ncl" policy (see
-    # FH_MAX_HOP in ops/lvc_block_ncl.py).  b=1 only: the interleaved
-    # sampler A/B (exp_r4e) read +0.14 ms at b=1 but -0.15 at b=4.
-    fused_head = fused_head or (hop <= FH_MAX_HOP and x.shape[0] == 1)
+    # FH_MAX_HOP in ops/lvc_block_ncl.py).  Batch-gated by FH_MAX_B: the
+    # interleaved sampler A/B (exp_r4e) read +0.14 ms at b=1 but -0.15 at
+    # b=4.
+    fused_head = fused_head or (hop <= FH_MAX_HOP
+                                and x.shape[0] <= FH_MAX_B)
 
     x = fnn.leaky_relu(x, 0.2)
     x = fnn.conv_transpose1d_ncl(

@@ -341,10 +341,19 @@ def wavenet_incremental_logits(params: dict, x_seq: jnp.ndarray,
     return logits.swapaxes(0, 1)
 
 
-def _sample_output(key, logits, cfg: MoLWaveNetConfig):
+def _sample_output(key, logits, cfg: MoLWaveNetConfig,
+                   deterministic: bool = False):
     if not cfg.scalar_input:
-        idx = jax.random.categorical(key, logits, axis=-1)
+        idx = (jnp.argmax(logits, axis=-1) if deterministic
+               else jax.random.categorical(key, logits, axis=-1))
         return jax.nn.one_hot(idx, cfg.out_channels, dtype=jnp.float32)
+    if deterministic:
+        # temperature -> 0: argmax-component mean (closed-loop AR
+        # consistency instrument — see tests/test_wavenet_mol.py)
+        fn = (mixture.mix_gaussian_mode
+              if cfg.output_distribution == "Normal"
+              else mixture.mix_logistic_mode)
+        return fn(logits, log_scale_min=cfg.log_scale_min)[..., None]
     if cfg.output_distribution == "Normal":
         x = mixture.sample_from_mix_gaussian(
             key, logits, log_scale_min=cfg.log_scale_min)
@@ -355,7 +364,8 @@ def _sample_output(key, logits, cfg: MoLWaveNetConfig):
 
 
 def wavenet_generate_batched(params: dict, cond: jnp.ndarray,
-                             cfg: MoLWaveNetConfig, key, g=None
+                             cfg: MoLWaveNetConfig, key, g=None,
+                             deterministic: bool = False
                              ) -> jnp.ndarray:
     """AR synthesis for pre-upsampled conditioning (B, T, cin) -> (B, T).
 
@@ -376,7 +386,7 @@ def wavenet_generate_batched(params: dict, cond: jnp.ndarray,
         k, sub = jax.random.split(k)
         state, logits = _step_logits(params, cfg, state, x_prev, c_t, dtype,
                                      g_gate=g_gate)
-        x = _sample_output(sub, logits, cfg)
+        x = _sample_output(sub, logits, cfg, deterministic=deterministic)
         out = x[..., 0] if cfg.scalar_input else \
             mixture.inv_mulaw_quantize(jnp.argmax(x, axis=-1),
                                        cfg.out_channels - 1)

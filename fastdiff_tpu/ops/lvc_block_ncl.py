@@ -70,6 +70,10 @@ _MIN_HALO = 48
 # the tile carries ~176 frames (M=176, efficient) and the block is
 # traffic-bound, so fusing the head there is the win without the loss.
 FH_MAX_HOP = 8
+# Largest batch the hop<=FH_MAX_HOP fused head applies to under the plain
+# "ncl" policy (the r4 interleaved A/B read +0.14 ms at b=1 but -0.15 at
+# b=4; trace-time knob, same contract as the fnn batch-policy globals).
+FH_MAX_B = 1
 
 
 def aug_rows(c: int, k: int = 3) -> int:
@@ -262,13 +266,21 @@ def _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
     return carry
 
 
+# Samples per megakernel tile (trace-time knob; exp harnesses sweep it).
+# ~8k is the production default for the aug (HBM-kern) path; the fused-head
+# path prefers LARGER tiles at big hops — the in-kernel head dot's M dim is
+# the tile's frame count, so tf=32 runs the MXU at 34/128 rows while tf=128
+# runs it full (the mechanism behind the r4 all-blocks-fh loss).
+TILE_TARGET = 8192
+
+
 def _pick_tile_frames(n_frames: int, hop: int) -> int:
     # ~8k samples per tile for the big hops; for small hops the VMEM bound
     # flips to the kern operand (layers*2C*rows ~ 64 KB/frame at the
     # production width), so cap the frame count instead.  r4 slope timing
     # at hop 8: tf 144/288 both ~0.1 ms — the per-frame (2C, R) @ (R, 8)
     # micro-dots are latency-tolerable at the T/32 rate.
-    target = min(max(1, 8192 // hop), 144)
+    target = min(max(1, TILE_TARGET // hop), 144)
     divisors = [tf for tf in range(1, n_frames + 1) if n_frames % tf == 0]
     return min(divisors, key=lambda tf: abs(tf - target))
 

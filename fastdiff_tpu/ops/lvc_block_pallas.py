@@ -268,6 +268,26 @@ def _head_mm5d_body(x_ref, w_ref, b_ref, out_ref):
     out_ref[:, 0] = acc.reshape(mt, cout, rows)
 
 
+# Grid order for taug_head_matmul_5d, read at TRACE time.  True iterates
+# (layers, m_tiles) with m innermost, so the (K, cout*rows) head-weight slab
+# (~3.1 MB at production width) stays VMEM-resident across all m tiles and
+# is fetched once per layer instead of once per grid step — the "w-resident
+# grid ordering" lever named in the r4 trace table (docs/PERF.md): at
+# m=896/m_tile=224 it cuts the head's weight reads ~4x (50 -> 12.6 MB/call).
+TAUG_HEAD_W_RESIDENT = True
+
+
+def _taug5d_m_tile(m: int) -> int:
+    # prefer an exact divisor of m (multiple of 8, <= 256) so no grid cell
+    # runs partial; the f32 (m_tile, cout*rows) accumulator bounds the tile
+    # (256 x 8192 x 4 = 8 MB at production width)
+    best = 0
+    for t in range(8, min(m, 256) + 1, 8):
+        if m % t == 0:
+            best = t
+    return best or min(m, 216)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def taug_head_matmul_5d(tap_c, w_head, b_head, layers: int, cout: int,
                         rows: int, interpret: bool = False):
@@ -289,23 +309,28 @@ def taug_head_matmul_5d(tap_c, w_head, b_head, layers: int, cout: int,
     m, k = tap_c.shape
     n_slab = cout * rows
     # small m-tiles: the f32 accumulator is (m_tile, cout*rows) on the
-    # kernel stack (216 x 8192 x 4 = 7 MB at the production width; 864
+    # kernel stack (256 x 8192 x 4 = 8 MB at the production width; 864
     # blew the 29.5 MB scoped-vmem limit)
-    m_tile = min(m, 216)
-    grid = (pl.cdiv(m, m_tile), layers)
+    m_tile = _taug5d_m_tile(m)
+    if TAUG_HEAD_W_RESIDENT:
+        # m innermost: the weight slab's block index (0, li) only changes on
+        # the outer step, so Pallas fetches it layers times, not every step
+        grid = (layers, pl.cdiv(m, m_tile))
+        ix, iw, io = (lambda li, mi: (mi, 0)), (lambda li, mi: (0, li)), \
+            (lambda li, mi: (mi, li, 0, 0))
+    else:
+        grid = (pl.cdiv(m, m_tile), layers)
+        ix, iw, io = (lambda mi, li: (mi, 0)), (lambda mi, li: (0, li)), \
+            (lambda mi, li: (mi, li, 0, 0))
     return pl.pallas_call(
         _head_mm5d_body,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((m_tile, k), lambda mi, li: (mi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, n_slab), lambda mi, li: (0, li),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_slab), lambda mi, li: (0, li),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_tile, k), ix, memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, n_slab), iw, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_slab), iw, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((m_tile, 1, cout, rows),
-                               lambda mi, li: (mi, li, 0, 0),
+        out_specs=pl.BlockSpec((m_tile, 1, cout, rows), io,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, layers, cout, rows), tap_c.dtype),
         interpret=interpret,

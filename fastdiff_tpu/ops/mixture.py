@@ -96,6 +96,29 @@ def sample_from_discretized_mix_logistic(key, y: jnp.ndarray,
     return jnp.clip(x, -1.0, 1.0)
 
 
+def mix_logistic_mode(y: jnp.ndarray,
+                      log_scale_min: float = -7.0) -> jnp.ndarray:
+    """Temperature -> 0 limit of ``sample_from_discretized_mix_logistic``:
+    the argmax mixture component's mean, clipped to [-1, 1].  Deterministic —
+    the correctness instrument for closed-loop AR consistency tests (the
+    stochastic draw otherwise makes AR-vs-teacher-forced comparison
+    impossible)."""
+    assert y.shape[-1] % 3 == 0
+    logit_probs, means_all, _ = _split_params(y, log_scale_min, clamp=False)
+    idx = jnp.argmax(logit_probs, axis=-1)
+    means = jnp.take_along_axis(means_all, idx[..., None], axis=-1)[..., 0]
+    return jnp.clip(means, -1.0, 1.0)
+
+
+def mix_gaussian_mode(y: jnp.ndarray,
+                      log_scale_min: float = -7.0) -> jnp.ndarray:
+    """Temperature -> 0 limit of ``sample_from_mix_gaussian``."""
+    c = y.shape[-1]
+    if c == 2:
+        return jnp.clip(y[..., 0], -1.0, 1.0)
+    return mix_logistic_mode(y, log_scale_min)
+
+
 def mix_gaussian_loss(y_hat: jnp.ndarray, y: jnp.ndarray,
                       log_scale_min: float = -7.0,
                       reduce: bool = True) -> jnp.ndarray:

@@ -34,6 +34,22 @@ import numpy as np
 
 _DIMSPEC = ("NWC", "WIO", "NWC")
 
+# Batch-policy knobs for the NCL formulations below, read at TRACE time
+# (exp harnesses flip them around separate jit closures to A/B the
+# merged-batch paths in-context; production values are pinned by the
+# committed A/B results — docs/PERF.md "batch scaling").
+#
+# r5 interleaved b=4 sampler matrix (scripts/exp_r5a.py, healthy session):
+#   nomerge 23.67 | convt_only 23.98 | dotds 29.23 | conv_only 29.97 |
+#   ship(merged) 30.41 | fh4 30.55 ms
+# The conv1d_ncl kron(I_B, W) merge — landed in r4 with "timing pending" —
+# was the b=4 regression (6.7 ms/sampler); both merges revert to the
+# einsum batched dots.  The code stays behind the knobs as a measured
+# negative result.
+MERGE_BATCH_CONV_MAX = 0    # conv1d_ncl kron(I_B, W) path for 2 <= b <= this
+MERGE_BATCH_CONVT_MAX = 0   # conv_transpose1d_ncl merged phase-dot path
+DOT_DOWNSAMPLE_MAX_B = 1    # nearest_downsample_ncl selection-matmul path
+
 
 # ---------------------------------------------------------------------------
 # Initializers (torch-default-compatible)
@@ -327,7 +343,7 @@ def conv1d_ncl(params: dict, x: jnp.ndarray, *, dilation: int = 1,
         y = jnp.sum(acc, axis=1, keepdims=True)
         return (y + params["b"][None, :, None]).astype(out_dtype)
     b, c_in, c_out = x.shape[0], w.shape[1], w.shape[2]
-    if 2 <= b <= 8 and b * max(c_in, c_out) <= 256:
+    if 2 <= b <= MERGE_BATCH_CONV_MAX and b * max(c_in, c_out) <= 256:
         # merged-batch block-diagonal dot: at C=32 a per-item dot uses 32 of
         # the MXU's 128 contraction rows, so a batched dot wastes 4x AND
         # XLA lowers the batch dim to convolution fusions with bad layouts
@@ -336,6 +352,10 @@ def conv1d_ncl(params: dict, x: jnp.ndarray, *, dilation: int = 1,
         # dot — B^2/ (128/C)^2 extra FLOPs ride in lanes the MXU was
         # padding anyway, and the batch dim disappears from the graph.
         # Lane shifts act within each (b, i) row, so taps never cross items.
+        # ASSUMES FINITE INPUTS: the structural zeros of kron(I_B, w)
+        # contract as 0 * Inf/NaN = NaN, so one non-finite batch item would
+        # poison the others (unlike the einsum path).  Inference activations
+        # are finite by construction; the serving path NaN-guards upstream.
         xm = xp.reshape(b * c_in, xp.shape[2])
         eye = jnp.eye(b, dtype=w.dtype)
         y = None
@@ -389,12 +409,13 @@ def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
     xp = jnp.pad(x, ((0, 0), (0, 0), (-s_min, s_max)))
 
     b = x.shape[0]
-    merge_b = 2 <= b <= 8 and b * max(c_in, stride * c_out) <= 1024
+    merge_b = (2 <= b <= MERGE_BATCH_CONVT_MAX
+               and b * max(c_in, stride * c_out) <= 1024)
     if merge_b:
-        # merged-batch block-diagonal dot — same trick and rationale as
-        # conv1d_ncl: the batched phase dots lowered to convolution fusions
-        # costing ~4.5x their b=1 rate at b=4 (r4 trace,
-        # convolution_add_fusion.151/152)
+        # merged-batch block-diagonal dot — same trick, rationale, and
+        # finite-input assumption as conv1d_ncl: the batched phase dots
+        # lowered to convolution fusions costing ~4.5x their b=1 rate at
+        # b=4 (r4 trace, convolution_add_fusion.151/152)
         xm = xp.reshape(b * c_in, xp.shape[2])
         eye = jnp.eye(b, dtype=w.dtype)
     y = None
@@ -454,7 +475,8 @@ def nearest_downsample_ncl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
     emitter wins the isolated layout game but loses the fusion game.)"""
     b, c, length = x.shape
     groups = 512
-    if b == 1 and length % groups == 0 and groups % factor == 0:
+    if (b <= DOT_DOWNSAMPLE_MAX_B and length % groups == 0
+            and groups % factor == 0):
         sel = jnp.asarray(
             np.equal.outer(np.arange(groups),
                            np.arange(0, groups, factor)).astype(np.float32),

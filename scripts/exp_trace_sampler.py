@@ -68,7 +68,7 @@ def report_trace(out_dir, calls=1, top=25):
 
 
 def main(b, mode="xla"):
-    cfg = ModelConfig(use_pallas_block="ncl" if mode == "ncl" else False)
+    cfg = ModelConfig(use_pallas_block=False if mode == "xla" else mode)
     params = fuse_weight_norm(init_fastdiff(jax.random.PRNGKey(0), cfg))
     hp = schedules.compute_hyperparams_given_schedule(
         schedules.linear_beta_schedule(DiffusionConfig()))

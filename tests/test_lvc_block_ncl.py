@@ -165,6 +165,32 @@ def test_model_integration_ncl():
                                rtol=3e-4, atol=3e-4)
 
 
+def test_model_integration_ncl_b1_fh_default():
+    """ADVICE r4: at b=1 with frames % 16 == 0 the plain 'ncl' policy
+    silently takes the fused-head path for the hop-8 block (FH_MAX_HOP /
+    FH_MAX_B gate in _lvc_block_apply_ncl) — exercise exactly that
+    configuration against the NWC reference path."""
+    from fastdiff_tpu.config import ModelConfig
+    from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+    from fastdiff_tpu.ops.lvc_block_ncl import FH_MAX_HOP, fusable
+
+    kw = dict(inner_channels=32, cond_channels=80, upsample_ratios=(8, 8, 4),
+              compute_dtype="float32")
+    cfg = ModelConfig(**kw)
+    params = init_fastdiff(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(4)
+    frames = 32                      # hop-8 block fusable: frames % 16 == 0
+    assert fusable(FH_MAX_HOP, frames)   # the gate actually fires here
+    audio = jnp.asarray(rng.normal(size=(1, frames * 256, 1)), jnp.float32)
+    mel = jnp.asarray(rng.normal(size=(1, frames, 80)), jnp.float32)
+    t = jnp.full((1, 1), 37.4, jnp.float32)
+    ref = fastdiff_apply(params, audio, mel, t, cfg)
+    out = fastdiff_apply(params, audio, mel, t,
+                         ModelConfig(use_pallas_block="ncl", **kw))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+
 def test_model_integration_ncl_fused_head():
     """use_pallas_block='ncl_fh' (predictor-head matmul fused INTO the
     megakernel — the kern_taug operand never exists in HBM) must be

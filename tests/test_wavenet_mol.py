@@ -155,6 +155,43 @@ def test_loss_and_generate_smoke():
     assert np.abs(out).max() <= 1.0 + 1e-6
 
 
+def test_ar_closed_loop_matches_teacher_forced():
+    """r4 verdict item 7: the closed AR loop (ring buffers + feedback +
+    output glue) at temperature -> 0 must agree with the parallel
+    teacher-forced forward re-run on the sequence the AR loop generated.
+    With deterministic (argmax-component-mean) output, wav[t] is a pure
+    function of wav[<t], so re-deriving every step's output from
+    ``wavenet_mol_apply`` on the shifted generated sequence must reproduce
+    the generated waveform exactly — an off-by-one anywhere in the
+    ring-buffer state machine or the feedback path breaks it (the
+    "speech-shaped but never high-quality" blind spot, since the micro-LJ
+    AR-MoL row demonstrates the pipeline, not near-copy-synthesis)."""
+    from fastdiff_tpu.models.wavenet_mol import (upsample_cond,
+                                                 wavenet_generate_batched)
+
+    params = init_wavenet_mol(jax.random.PRNGKey(2), SMALL)
+    rng = np.random.default_rng(11)
+    b, frames = 2, 6
+    mel = jnp.asarray(rng.standard_normal((b, frames, 10)), jnp.float32)
+    cond = upsample_cond(params, mel, SMALL, jnp.float32)
+
+    wav = wavenet_generate_batched(params, cond, SMALL,
+                                   jax.random.PRNGKey(3),
+                                   deterministic=True)     # (B, T)
+    assert np.isfinite(np.asarray(wav)).all()
+    # the AR loop is not degenerate (it produces varying output)
+    assert float(jnp.std(wav)) > 0
+
+    # teacher-forced reconstruction on the generated sequence: x_in[t] =
+    # wav[t-1], x_in[0] = 0 (the AR loop's x0)
+    x_in = jnp.pad(wav[:, :-1, None], ((0, 0), (1, 0), (0, 0)))
+    logits_tf = wavenet_mol_apply(params, x_in, mel, SMALL)
+    rederived = mixture.mix_logistic_mode(
+        logits_tf, log_scale_min=SMALL.log_scale_min)
+    np.testing.assert_allclose(np.asarray(rederived), np.asarray(wav),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_fold_shapes():
     c = jnp.arange(100, dtype=jnp.float32).reshape(1, 100, 1)
     folded = fold_with_overlap(c, target=20, overlap=10)

@@ -28,6 +28,8 @@ Torch-compatibility notes (for checkpoint import and training parity):
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -49,6 +51,11 @@ _DIMSPEC = ("NWC", "WIO", "NWC")
 MERGE_BATCH_CONV_MAX = 0    # conv1d_ncl kron(I_B, W) path for 2 <= b <= this
 MERGE_BATCH_CONVT_MAX = 0   # conv_transpose1d_ncl merged phase-dot path
 DOT_DOWNSAMPLE_MAX_B = 1    # nearest_downsample_ncl selection-matmul path
+# conv_transpose1d_ncl selection-matmul phase interleave for b >= this
+# (r5f interleaved A/B: b=4 21.78 vs 23.76 ms — the transpose-interleave
+# copies ran 6.8x their b=1 rate; b=1 6.02 vs 4.96 ms — the copy is cheap
+# at b=1 and the dot's extra pass loses, 4/4 reps each way, bit-exact)
+DOT_INTERLEAVE_MIN_B = 2
 
 
 # ---------------------------------------------------------------------------
@@ -379,6 +386,35 @@ def conv1d_ncl(params: dict, x: jnp.ndarray, *, dilation: int = 1,
     return (y + params["b"][None, :, None]).astype(out_dtype)
 
 
+def _interleave_group(length: int, stride: int) -> int:
+    """Largest divisor g of ``length`` with ``g * stride <= 512`` (one
+    128-lane-aligned output tile), preferring sublane-aligned (multiple of
+    8) contractions; 0 if no divisor >= 8 exists (caller falls back to the
+    transpose interleave)."""
+    cap = min(512 // stride, length)
+    for g in range(cap - cap % 8, 7, -8):
+        if length % g == 0:
+            return g
+    for g in range(cap, 7, -1):
+        if length % g == 0:
+            return g
+    return 0
+
+
+@functools.lru_cache(maxsize=None)
+def _interleave_sel_np(stride: int, g: int) -> np.ndarray:
+    """0/1 scatter operand for the selection-matmul phase interleave:
+    sel[p, i, i*stride + p] = 1 so that contracting (phase, in-lane) against
+    y (B, C, stride, L/g, g) emits the phase-interleaved (B, C, L/g,
+    g*stride) tile directly."""
+    sel = np.zeros((stride, g, g * stride), np.float32)
+    p = np.arange(stride)[:, None]
+    i = np.arange(g)[None, :]
+    sel[np.broadcast_to(p, (stride, g)), np.broadcast_to(i, (stride, g)),
+        i * stride + p] = 1.0
+    return sel
+
+
 def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
                          torch_padding: int, output_padding: int = 0,
                          compute_dtype=None) -> jnp.ndarray:
@@ -387,7 +423,12 @@ def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
 
     Phase matmuls emit (B, stride, C_out, L); the phase interleave is one
     transpose+reshape of the output (minor dims (L, stride)) instead of the
-    full-rate NWC<->NCL boundary transposes."""
+    full-rate NWC<->NCL boundary transposes — or, under ``DOT_INTERLEAVE``,
+    one bit-exact 0/1 selection matmul per lane tile (the reverse of the
+    ``nearest_downsample_ncl`` trick): the r5 b=4 trace showed the
+    transpose interleave lowering to copies costing 3.04 ms/sampler (6.8x
+    the b=1 rate), while an MXU dot with canonical layouts rides lanes the
+    copy engine can't."""
     w = conv_transpose_weight(params)           # (K, I, O)
     out_dtype = jnp.float32
     if compute_dtype is not None:
@@ -418,14 +459,22 @@ def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
         # b=4 (r4 trace, convolution_add_fusion.151/152)
         xm = xp.reshape(b * c_in, xp.shape[2])
         eye = jnp.eye(b, dtype=w.dtype)
+    g = _interleave_group(length, stride) if (
+        b >= DOT_INTERLEAVE_MIN_B and not merge_b and stride > 1) else 0
     y = None
     for s, taps in sorted(groups.items()):
         per_phase = [zero] * stride
         for p, tap in taps:
             per_phase[p] = w[tap]
-        # rows ordered (phase, c_out)
-        b_s = jnp.transpose(jnp.stack(per_phase, axis=0),
-                            (0, 2, 1)).reshape(stride * c_out, c_in)
+        if g:
+            # rows ordered (c_out, phase) so the selection-dot path below
+            # reshapes to (B, C_out, stride, L) with no transpose
+            b_s = jnp.transpose(jnp.stack(per_phase, axis=0),
+                                (2, 0, 1)).reshape(c_out * stride, c_in)
+        else:
+            # rows ordered (phase, c_out)
+            b_s = jnp.transpose(jnp.stack(per_phase, axis=0),
+                                (0, 2, 1)).reshape(stride * c_out, c_in)
         if merge_b:
             xs = jax.lax.slice_in_dim(xm, s - s_min, s - s_min + length,
                                       axis=1)
@@ -438,13 +487,28 @@ def conv_transpose1d_ncl(params: dict, x: jnp.ndarray, *, stride: int,
             term = jnp.einsum("ri,bil->brl", b_s, xs,
                               preferred_element_type=jnp.float32)
         y = term if y is None else y + term
-    y = y.reshape(b, stride, c_out, length)
-    # bias + output-dtype cast BEFORE the phase interleave: the interleave is
-    # a physical (XLU) relayout of the full-rate activation, so running it at
-    # the compute dtype halves its HBM traffic (r4 trace: 0.64 -> 0.32 ms per
-    # sampler on the block-2 upsampler)
-    y = (y + params["b"][None, None, :, None]).astype(out_dtype)
-    y = jnp.transpose(y, (0, 2, 3, 1)).reshape(b, c_out, length * stride)
+    if g:
+        # selection-matmul interleave: one dot_general contracting (phase,
+        # in-lane) against the cached 0/1 scatter operand.  Bit-exact —
+        # exactly one nonzero per output lane, 1.0 * x plus structural
+        # zeros (0 * finite = 0); bias + cast first so the dot runs at the
+        # compute dtype.
+        y = y.reshape(b, c_out, stride, length)
+        y = (y + params["b"][None, :, None, None]).astype(out_dtype)
+        sel = jnp.asarray(_interleave_sel_np(stride, g), y.dtype)
+        z = y.reshape(b, c_out, stride, length // g, g)
+        y = jax.lax.dot_general(z, sel, (((2, 4), (0, 1)), ((), ())),
+                                preferred_element_type=y.dtype)
+        y = y.reshape(b, c_out, length * stride)
+    else:
+        y = y.reshape(b, stride, c_out, length)
+        # bias + output-dtype cast BEFORE the phase interleave: the
+        # interleave is a physical (XLU) relayout of the full-rate
+        # activation, so running it at the compute dtype halves its HBM
+        # traffic (r4 trace: 0.64 -> 0.32 ms per sampler on the block-2
+        # upsampler)
+        y = (y + params["b"][None, None, :, None]).astype(out_dtype)
+        y = jnp.transpose(y, (0, 2, 3, 1)).reshape(b, c_out, length * stride)
     target = (length - 1) * stride - 2 * torch_padding + k + output_padding
     if y.shape[2] != target:
         extra = y.shape[2] - target

@@ -1,21 +1,14 @@
-"""Round-5a: settle the b=4 batch-scaling question (VERDICT r4 item 1).
+"""Round-5f: A/B the selection-matmul phase interleave (DOT_INTERLEAVE)
+in conv_transpose1d_ncl at b=1 and b=4.
 
-BENCH_r04 printed b=4 at 0.81x the b=1 figure against the standing >=1.0x
-bar, with the landed-but-unmeasured merged-batch block-diagonal NCL convs
-(ops/nn.py) as the prime suspect.  This harness A/Bs the full b=4 sampler
-across the batch-policy matrix with interleaved slope timing (the exp_r4e
-methodology: one fresh jit closure per variant, traced under the variant's
-trace-time globals; variants alternate within each rep so session drift
-cancels; min over reps since contention noise is one-sided):
+The r5 b=4 trace attributed 3.04 ms/sampler to the transpose-interleave
+copies (6.8x their b=1 rate) on the block-2 upsampler; the dot interleave
+replaces the copy with one 0/1 MXU dot per lane tile (bit-exact).  Same
+interleaved-slope methodology as exp_r5a: one fresh jit closure per
+variant traced under the variant's trace-time globals; variants alternate
+within each rep so session drift cancels; min over reps.
 
-  ship        merged-batch convs ON (r4 shipped state)
-  nomerge     merged-batch convs OFF (einsum batched dots — the revert)
-  conv_only   only conv1d_ncl merged
-  convt_only  only conv_transpose1d_ncl merged
-  dotds       + selection-matmul downsample at b=4 (r4: 3/4 reps negative)
-  fh4         + hop-8 fused head at b=4 (r4: -0.15 ms)
-
-Run ALONE on the TPU host:  python scripts/exp_r5a.py
+Run ALONE on the TPU host:  python scripts/exp_r5f.py [batch]
 """
 
 import sys
@@ -35,7 +28,6 @@ from fastdiff_tpu.config import DiffusionConfig, ModelConfig
 from fastdiff_tpu.diffusion import schedules
 from fastdiff_tpu.diffusion.sampler import _jitted_sample
 from fastdiff_tpu.models import fastdiff as M
-from fastdiff_tpu.ops import lvc_block_ncl as NCL
 from fastdiff_tpu.ops import nn as fnn
 from fastdiff_tpu.utils.profiling import device_timer_slope, force
 
@@ -43,31 +35,9 @@ SECONDS = 10.0
 SR = 22050
 HOP = 256
 
-# (MERGE_CONV_MAX, MERGE_CONVT_MAX, DOT_DOWNSAMPLE_MAX_B, FH_MAX_B, WRES)
-#
-# ROUND 1 result (this harness, 4-tuples, healthy session): the r4
-# merged-batch conv1d kron path WAS the b=4 regression —
-#   nomerge 23.67 | convt_only 23.98 | dotds 29.23 | conv_only 29.97 |
-#   ship(merged) 30.41 | fh4 30.55 ms   (all bit-exact vs ship <= 5.3e-2,
-#   merged-vs-einsum bf16 reassociation)
-# Production flipped to MERGE_*_MAX = 0.  Round 2 re-tests the b=1-gated
-# wins on top of the nomerge base + the w-resident taug-head grid.
-VARIANTS = {
-    "base":      (0, 0, 1, 1, True),
-    "nowres":    (0, 0, 1, 1, False),
-    "convt":     (0, 8, 1, 1, True),
-    "dotds":     (0, 0, 8, 1, True),
-    "fh4":       (0, 0, 1, 8, True),
-}
-
-
-def set_policy(pol):
-    fnn.MERGE_BATCH_CONV_MAX = pol[0]
-    fnn.MERGE_BATCH_CONVT_MAX = pol[1]
-    fnn.DOT_DOWNSAMPLE_MAX_B = pol[2]
-    NCL.FH_MAX_B = pol[3]
-    import fastdiff_tpu.ops.lvc_block_pallas as PB
-    PB.TAUG_HEAD_W_RESIDENT = pol[4]
+# DOT_INTERLEAVE_MIN_B values: 99 disables the dot interleave at any
+# tested batch; 1 forces it on even at b=1
+VARIANTS = {"il_off": 99, "il_on": 1}
 
 
 def health_gate():
@@ -101,12 +71,10 @@ def main(batch=4):
     apply_fn = M.get_apply_fn(ModelConfig(use_pallas_block="ncl"))
 
     runs, outs = {}, {}
-    for name, pol in VARIANTS.items():
-        set_policy(pol)
+    for name, flag in VARIANTS.items():
+        fnn.DOT_INTERLEAVE_MIN_B = flag
 
         def make(run_params=params):
-            # fresh function identity per variant -> its own trace under
-            # the globals set above (jit cache keys on denoise identity)
             def denoise(x, m, t):
                 return apply_fn(run_params, x, m, t)
 
@@ -116,17 +84,13 @@ def main(batch=4):
             return run
 
         run = make()
-        outs[name] = np.asarray(run())          # compile + warm (forced)
+        outs[name] = np.asarray(run())
         runs[name] = run
-        print(f"| compiled {name} (policy {pol})", flush=True)
-    set_policy(VARIANTS["base"])
+        print(f"| compiled {name} (DOT_INTERLEAVE_MIN_B={flag})", flush=True)
+    fnn.DOT_INTERLEAVE_MIN_B = 2
 
-    ref = outs["base"]
-    for name, out in outs.items():
-        if name == "base":
-            continue
-        d = float(np.max(np.abs(out - ref)))
-        print(f"| max |{name} - base| = {d:.3e}")
+    d = float(np.max(np.abs(outs["il_on"] - outs["il_off"])))
+    print(f"| max |il_on - il_off| = {d:.3e}  (expect 0: bit-exact)")
 
     table = {name: [] for name in VARIANTS}
     for rep in range(4):
@@ -140,7 +104,7 @@ def main(batch=4):
     print(f"== b={batch} summary (min over reps, ms/sampler, ms/item) ==")
     for name, ts in sorted(table.items(), key=lambda kv: min(kv[1])):
         best = min(ts)
-        print(f"| {name:11s} {best:7.2f} ms  {best / batch:6.2f} ms/item")
+        print(f"| {name:7s} {best:7.2f} ms  {best / batch:6.2f} ms/item")
 
 
 if __name__ == "__main__":

@@ -198,6 +198,31 @@ def test_conv_transpose1d_ncl_batch_consistency(rng, b):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
 
 
+@pytest.mark.parametrize("stride,length", [(8, 96), (8, 100), (4, 128),
+                                           (4, 7), (2, 64)])
+def test_conv_transpose1d_ncl_dot_interleave_exact(rng, stride, length):
+    """The DOT_INTERLEAVE selection-matmul phase interleave must be
+    bit-exact vs the transpose+reshape interleave (0/1 scatter operand, one
+    nonzero per output lane), including lengths with no valid lane group
+    (g=0 falls back to the transpose path)."""
+    k = 2 * stride
+    p = {"w": jnp.asarray(
+            rng.standard_normal((k, 6, 5)).astype(np.float32) * 0.1),
+         "b": jnp.asarray(rng.standard_normal((5,)).astype(np.float32))}
+    xj = jnp.asarray(rng.standard_normal((3, 6, length)).astype(np.float32))
+    kw = dict(stride=stride, torch_padding=stride // 2 + stride % 2,
+              output_padding=stride % 2)
+    old = fnn.DOT_INTERLEAVE_MIN_B
+    try:
+        fnn.DOT_INTERLEAVE_MIN_B = 1
+        got = fnn.conv_transpose1d_ncl(p, xj, **kw)
+        fnn.DOT_INTERLEAVE_MIN_B = 99
+        ref = fnn.conv_transpose1d_ncl(p, xj, **kw)
+    finally:
+        fnn.DOT_INTERLEAVE_MIN_B = old
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_nearest_downsample_ncl_dot_path_exact(rng):
     # length divisible by 512 at b=1 exercises the selection-matmul path;
     # it must be bit-exact vs the strided slice (0/1 selection, one term)

@@ -28,6 +28,24 @@ import jax.numpy as jnp
 from fastdiff_tpu.diffusion.schedules import SamplerConstants
 
 
+def inference_key(seed: int = 0) -> jax.Array:
+    """RNG key for inference-path noise draws.
+
+    On accelerator backends this returns an ``rbg`` typed key: the sampler's
+    per-step draws then lower to the TPU hardware RngBitGenerator instead of
+    the threefry2x32 kernel (r5h 16-rep interleaved A/B on the production
+    b=1 sampler: -0.18 ms median, 11/16 reps faster — docs/PERF.md r5
+    closes). Sampling noise needs no cross-backend bit-reproducibility; on
+    CPU (tests) this stays threefry so golden outputs are unchanged. The
+    impl travels with the key through ``jax.random.split``, so callers that
+    pass their own ``PRNGKey`` keep fully reproducible threefry draws —
+    this helper only changes the *default* keys on serving/CLI paths.
+    """
+    if jax.default_backend() == "cpu":
+        return jax.random.PRNGKey(seed)
+    return jax.random.key(seed, impl="rbg")
+
+
 def sampling_given_noise_schedule(
         denoise_fn: Callable,
         key: jax.Array,

@@ -496,11 +496,10 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
                                                 lvc_block_ncl_fh,
                                                 wstack_t_from)
     use_fused = fusable(hop, mel.shape[1])
-    # small-hop blocks are kern_taug-traffic-bound with frame-rich tiles:
-    # the in-kernel head wins there even under the plain "ncl" policy (see
-    # FH_MAX_HOP in ops/lvc_block_ncl.py).  Batch-gated by FH_MAX_B: the
-    # interleaved sampler A/B (exp_r4e) read +0.14 ms at b=1 but -0.15 at
-    # b=4.
+    # Under the plain "ncl" policy the separate taug head beats the
+    # in-kernel one at every batch (FH_MAX_B = 0 — see the r5c/r5g settle
+    # in ops/lvc_block_ncl.py); the knob and the fh kernel stay for the
+    # explicit "ncl_fh" policy and for re-measurement on future hardware.
     fused_head = fused_head or (hop <= FH_MAX_HOP
                                 and x.shape[0] <= FH_MAX_B)
 

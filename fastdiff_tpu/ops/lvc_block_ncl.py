@@ -71,9 +71,16 @@ _MIN_HALO = 48
 # traffic-bound, so fusing the head there is the win without the loss.
 FH_MAX_HOP = 8
 # Largest batch the hop<=FH_MAX_HOP fused head applies to under the plain
-# "ncl" policy (the r4 interleaved A/B read +0.14 ms at b=1 but -0.15 at
-# b=4; trace-time knob, same contract as the fnn batch-policy globals).
-FH_MAX_B = 1
+# "ncl" policy (trace-time knob, same contract as the fnn batch-policy
+# globals).  0 = never: the r4 gate (fh at b=1, decided at +0.14 ms on
+# 3-of-4 reps in a noisy session) did NOT survive re-measurement — the r5c
+# 8-rep interleaved A/B read the unfused path -0.29 ms median (5/8 reps
+# faster) and the r5g DEVICE TRACE confirmed it per-op: unfused scan
+# 5.479 ms vs fused 5.549 (aug 0.508 + separate head beats fh 0.930; at
+# b=1 the hop-8 kern_taug operand is small enough that the traffic saved
+# no longer pays for the in-kernel head's extra pass).  The explicit
+# "ncl_fh" policy still fuses the head for every fusable block.
+FH_MAX_B = 0
 
 
 def aug_rows(c: int, k: int = 3) -> int:

@@ -72,6 +72,7 @@ def main(batch=1, reps=8):
             jnp.asarray(const.sigma), jnp.asarray(const.steps))
     apply_fn = M.get_apply_fn(ModelConfig(use_pallas_block="ncl"))
 
+    fh_default = NCL.FH_MAX_B
     runs = {}
     for name, (fh_b, rbg) in VARIANTS.items():
         NCL.FH_MAX_B = fh_b
@@ -91,7 +92,7 @@ def main(batch=1, reps=8):
         force(run())
         runs[name] = run
         print(f"| compiled {name} (fh_b={fh_b}, rbg={rbg})", flush=True)
-    NCL.FH_MAX_B = 1
+    NCL.FH_MAX_B = fh_default
 
     table = {name: [] for name in VARIANTS}
     for rep in range(reps):

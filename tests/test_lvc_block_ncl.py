@@ -165,11 +165,14 @@ def test_model_integration_ncl():
                                rtol=3e-4, atol=3e-4)
 
 
-def test_model_integration_ncl_b1_fh_default():
-    """ADVICE r4: at b=1 with frames % 16 == 0 the plain 'ncl' policy
-    silently takes the fused-head path for the hop-8 block (FH_MAX_HOP /
-    FH_MAX_B gate in _lvc_block_apply_ncl) — exercise exactly that
-    configuration against the NWC reference path."""
+def test_model_integration_ncl_b1_fh_gate():
+    """ADVICE r4: exercise the FH_MAX_HOP/FH_MAX_B hop-8 fused-head gate in
+    _lvc_block_apply_ncl under the plain 'ncl' policy at b=1 with
+    frames % 16 == 0.  Production FH_MAX_B is 0 (the r5c/r5g settle) so the
+    knob is pinned to 1 here to keep the gated path covered — output must
+    match the NWC reference path either way."""
+    import fastdiff_tpu.models.fastdiff as M
+    import fastdiff_tpu.ops.lvc_block_ncl as NCL
     from fastdiff_tpu.config import ModelConfig
     from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
     from fastdiff_tpu.ops.lvc_block_ncl import FH_MAX_HOP, fusable
@@ -185,8 +188,15 @@ def test_model_integration_ncl_b1_fh_default():
     mel = jnp.asarray(rng.normal(size=(1, frames, 80)), jnp.float32)
     t = jnp.full((1, 1), 37.4, jnp.float32)
     ref = fastdiff_apply(params, audio, mel, t, cfg)
-    out = fastdiff_apply(params, audio, mel, t,
-                         ModelConfig(use_pallas_block="ncl", **kw))
+    old = NCL.FH_MAX_B
+    try:
+        NCL.FH_MAX_B = 1
+        M._APPLY_FNS.clear()         # gate is read at trace time
+        out = fastdiff_apply(params, audio, mel, t,
+                             ModelConfig(use_pallas_block="ncl", **kw))
+    finally:
+        NCL.FH_MAX_B = old
+        M._APPLY_FNS.clear()
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=3e-4, atol=3e-4)
 

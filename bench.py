@@ -76,7 +76,8 @@ def main():
 
     from fastdiff_tpu.config import DiffusionConfig, ModelConfig
     from fastdiff_tpu.diffusion import schedules
-    from fastdiff_tpu.diffusion.sampler import make_param_sampler
+    from fastdiff_tpu.diffusion.sampler import (inference_key,
+                                                make_param_sampler)
     from fastdiff_tpu.models.fastdiff import (fuse_weight_norm, get_apply_fn,
                                               init_fastdiff)
 
@@ -98,14 +99,14 @@ def main():
 
     def measure(cfg):
         sampler = make_param_sampler(get_apply_fn(cfg), const)
-        # compile + warmup (forced)
-        float(force(sampler(params, jax.random.PRNGKey(1), mel, audio_len)))
+        # compile + warmup (forced); rbg keys on TPU (r5h: -0.18 ms/sampler)
+        float(force(sampler(params, inference_key(1), mel, audio_len)))
 
         def timed_loop(n):
             t0 = time.perf_counter()
             out = None
             for i in range(n):
-                out = sampler(params, jax.random.PRNGKey(2 + i), mel,
+                out = sampler(params, inference_key(2 + i), mel,
                               audio_len)
             float(force(out))     # forces the whole in-order chain
             return time.perf_counter() - t0
@@ -145,14 +146,14 @@ def main():
         sampler = make_param_sampler(get_apply_fn(cfg_best), const)
         for b in (4,):
             mel_b = jnp.tile(mel, (b, 1, 1))
-            float(force(sampler(params, jax.random.PRNGKey(1), mel_b,
+            float(force(sampler(params, inference_key(1), mel_b,
                                 audio_len)))
 
             def timed_loop_b(n):
                 t0 = time.perf_counter()
                 out = None
                 for i in range(n):
-                    out = sampler(params, jax.random.PRNGKey(2 + i), mel_b,
+                    out = sampler(params, inference_key(2 + i), mel_b,
                                   audio_len)
                 float(force(out))
                 return time.perf_counter() - t0

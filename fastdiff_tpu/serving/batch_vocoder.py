@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fastdiff_tpu.diffusion.sampler import make_sampler
+from fastdiff_tpu.diffusion.sampler import inference_key, make_sampler
 from fastdiff_tpu.parallel import mesh as meshlib
 
 
@@ -66,7 +66,7 @@ class BatchedVocoder:
     def vocode(self, mels: List[np.ndarray], key=None) -> List[np.ndarray]:
         """mels: list of (T_i, n_mels) arrays -> list of (T_i * hop,) wavs."""
         if key is None:
-            key = jax.random.PRNGKey(0)
+            key = inference_key(0)   # TPU hardware RNG for noise draws
         # group indices by padded length bucket
         buckets = {}
         for i, mel in enumerate(mels):

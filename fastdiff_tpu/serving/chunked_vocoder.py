@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fastdiff_tpu.diffusion.sampler import inference_key
+
 # FastDiff receptive field in mel frames: kernel-predictor context (~9
 # frames) plus sample-level conv stacks (< 2 frames at hop 256); 16 frames
 # (~0.19 s) gives a comfortable margin.
@@ -54,7 +56,7 @@ class ChunkedVocoder:
         """mel (T, n_mels) -> wav (T * hop,). Short inputs go through in
         one call; long inputs are chunked and crossfaded."""
         if key is None:
-            key = jax.random.PRNGKey(0)
+            key = inference_key(0)   # TPU hardware RNG for noise draws
         frames = mel.shape[0]
         core = self.chunk - 2 * self.halo
         if frames <= self.chunk:

@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from fastdiff_tpu.diffusion.sampler import inference_key
 from fastdiff_tpu.serving.chunked_vocoder import DEFAULT_HALO_FRAMES
 
 
@@ -53,7 +54,7 @@ class StreamingVocoder:
         self.chunk = chunk_frames
         self.halo = halo_frames
         self.core = chunk_frames - 2 * halo_frames
-        self.key = key if key is not None else jax.random.PRNGKey(0)
+        self.key = key if key is not None else inference_key(0)
 
         self._mel_buf: Optional[np.ndarray] = None   # all frames seen so far,
         self._consumed = 0                           # minus what chunks used

@@ -200,7 +200,11 @@ class Trainer:
             self.work_dir,
             f"generated_{step}_{task.hparams.get('gen_dir_name', '')}")
         results = []
-        key = jax.random.PRNGKey(self.cfg.seed)
+        # rbg keys on accelerators: sampler noise draws use the TPU hardware
+        # RNG (r5h A/B: -0.18 ms/sampler); threefry on CPU for reproducible
+        # test goldens. The impl rides the key through split().
+        from fastdiff_tpu.diffusion.sampler import inference_key
+        key = inference_key(self.cfg.seed)
         for sample in task.test_dataloader():
             key, sub = jax.random.split(key)
             res = task.test_step(state, sample, sampler, gen_dir, sub)

@@ -19,7 +19,7 @@ import numpy as np
 
 from fastdiff_tpu.config import DiffusionConfig, ModelConfig
 from fastdiff_tpu.diffusion import schedules
-from fastdiff_tpu.diffusion.sampler import make_param_sampler
+from fastdiff_tpu.diffusion.sampler import inference_key, make_param_sampler
 from fastdiff_tpu.models.fastdiff import (fuse_weight_norm, get_apply_fn,
                                           init_fastdiff)
 from fastdiff_tpu.vocoders.base import BaseVocoder, register_vocoder
@@ -51,7 +51,8 @@ class FastDiff(BaseVocoder):
             return psample(params, key, mel, audio_length)
 
         self._sampler = sampler
-        self._key = jax.random.PRNGKey(int(hp.get("seed", 1234)))
+        # rbg on accelerators (r5h A/B: -0.18 ms/sampler), threefry on CPU
+        self._key = inference_key(int(hp.get("seed", 1234)))
         # long-utterance chunking (0 = off): one compiled shape + O(1) memory
         chunk = int(hp.get("chunked_infer_frames", 0) or 0)
         self._chunked = None

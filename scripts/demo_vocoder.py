@@ -29,7 +29,7 @@ def main():
 
     from fastdiff_tpu.config import AudioConfig, DiffusionConfig, ModelConfig
     from fastdiff_tpu.diffusion import schedules
-    from fastdiff_tpu.diffusion.sampler import make_sampler
+    from fastdiff_tpu.diffusion.sampler import inference_key, make_sampler
     from fastdiff_tpu.models.fastdiff import (fastdiff_apply, fuse_weight_norm,
                                               init_fastdiff)
     from fastdiff_tpu.ops.dsp import wav2mel_np
@@ -69,10 +69,10 @@ def main():
     sampler = make_sampler(
         lambda x, m, t: fastdiff_apply(params, x, m, t, model_cfg), constants)
     from fastdiff_tpu.utils.profiling import force
-    out = sampler(jax.random.PRNGKey(42), mel_dev, mel.shape[1] * audio_cfg.hop_size)
+    out = sampler(inference_key(42), mel_dev, mel.shape[1] * audio_cfg.hop_size)
     force(out)
     t0 = time.perf_counter()
-    out = sampler(jax.random.PRNGKey(43), mel_dev, mel.shape[1] * audio_cfg.hop_size)
+    out = sampler(inference_key(43), mel_dev, mel.shape[1] * audio_cfg.hop_size)
     force(out)
     dt = time.perf_counter() - t0
     pred = np.asarray(out)[0, :, 0]

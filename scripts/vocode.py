@@ -62,7 +62,7 @@ def main():
                                      max_batch=args.batch)
 
     t0 = time.time()
-    wavs = bv.vocode(mels, key=jax.random.PRNGKey(0))
+    wavs = bv.vocode(mels)  # default key: rbg on TPU (sampler.inference_key)
     total_audio = sum(len(w) for w in wavs) / audio_cfg.sample_rate
     dt = time.time() - t0
     print(f"| vocoded {len(wavs)} utterances ({total_audio:.1f}s audio) in "

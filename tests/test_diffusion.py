@@ -121,6 +121,35 @@ def test_sampling_runs_and_shapes():
     assert np.isfinite(np.asarray(wav)).all()
 
 
+def test_sampling_accepts_rbg_key_and_inference_key_is_threefry_on_cpu():
+    """The serving/CLI default key comes from ``inference_key`` (rbg typed
+    keys on accelerators — the r5h A/B win; threefry on CPU so test goldens
+    never move). The sampler must accept both key flavors: the impl rides
+    the key through split()/normal() inside the scan."""
+    from fastdiff_tpu.diffusion.sampler import inference_key
+
+    # on the CPU test backend the helper returns plain threefry
+    k = inference_key(7)
+    np.testing.assert_array_equal(np.asarray(jax.random.key_data(k)),
+                                  np.asarray(jax.random.PRNGKey(7)))
+
+    cfg = DiffusionConfig()
+    hp = schedules.compute_hyperparams_given_schedule(
+        schedules.linear_beta_schedule(cfg))
+    const = schedules.sampler_constants_for_schedule(
+        schedules.noise_schedule_for_steps(4), hp)
+
+    def fake_denoiser(x, mel, t):
+        return 0.1 * x
+
+    mel = jnp.zeros((1, 4, 8))
+    wav = sampling_given_noise_schedule(
+        fake_denoiser, jax.random.key(0, impl="rbg"), mel, const,
+        audio_length=64)
+    assert wav.shape == (1, 64, 1)
+    assert np.isfinite(np.asarray(wav)).all()
+
+
 def test_sampling_state_layouts_bit_identical():
     """The NCL (B, 1, L) scan state (the TPU layout fix, docs/PERF.md) must
     produce BIT-identical output to the (B, L, 1) state: same RNG draw

@@ -70,9 +70,14 @@ class ModelConfig:
             use_weight_norm=bool(hp.get("use_weight_norm", True)),
             # 'auto'/'ncl' resolve at the *inference* entry points (see
             # resolve_pallas_block / inference_model_config); the training
-            # config admits only the NWC kernel (True — it has a VJP): the
-            # full-NCL forward is inference-only and VJP-less
-            use_pallas_block=(hp.get("use_pallas_block") is True),
+            # config admits the trainable kernel routes only: True (the r2
+            # NWC kernel, recompute VJP), "ncl_vjp" (NCL megakernel,
+            # recompute VJP) and "ncl_sr" (NCL megakernel, saved-residual
+            # VJP — no forward recompute in the backward)
+            use_pallas_block=(
+                hp.get("use_pallas_block")
+                if hp.get("use_pallas_block") in ("ncl_vjp", "ncl_sr")
+                else hp.get("use_pallas_block") is True),
             use_pallas_down=(hp.get("use_pallas_down", False) is True),
             compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
             conv_impl=str(hp.get("conv_impl", "dot")),
@@ -102,6 +107,9 @@ def resolve_pallas_block(hp: dict):
         low = raw.strip().lower()
         if low in ("ncl", "ncl_fh"):
             return low
+        if low in ("ncl_sr", "ncl_vjp"):
+            # trainable-route strings: inference uses the plain megakernel
+            return "ncl"
         if low in ("auto", ""):
             # backend-aware: the NCL megakernel targets the TPU; on CPU the
             # kernel would run in Mosaic interpret mode (orders of magnitude

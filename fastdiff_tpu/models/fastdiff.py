@@ -476,7 +476,8 @@ def _dblock_apply_ncl(p: dict, x: jnp.ndarray, factor: int, dtype,
 def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
                          mel: jnp.ndarray, t_emb: jnp.ndarray, ratio: int,
                          hop: int, cfg: ModelConfig, dtype,
-                         final_wb=None, fused_head: bool = False):
+                         final_wb=None, fused_head: bool = False,
+                         train_sr: bool = False):
     """``_lvc_block_apply`` twin for NCL activations: x (B, C, L/ratio),
     skip (B, C, L) -> (B, C, L).  Fusable blocks call the NCL megakernel
     directly (no NWC<->NCL boundary transposes at all); the non-fusable
@@ -487,13 +488,18 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
     (block_out, final_out (B, 1, L) f32).
 
     ``fused_head``: run the predictor-head matmul INSIDE the megakernel
-    (lvc_block_ncl_fh) so the 5D kern_taug operand never exists in HBM."""
+    (lvc_block_ncl_fh) so the 5D kern_taug operand never exists in HBM.
+
+    ``train_sr``: trainable saved-residual route — the fused kernel emits
+    per-layer intermediates and the VJP is manual NCL math with no forward
+    recompute (ops/lvc_block_ncl.lvc_block_ncl_taug_sr)."""
     noise = fnn.dense(p["fc_t"], t_emb, compute_dtype=dtype)     # (B, cond_ch)
     cond = mel + noise[:, None, :].astype(mel.dtype)
 
     from fastdiff_tpu.ops.lvc_block_ncl import (FH_MAX_B, FH_MAX_HOP,
                                                 fusable, lvc_block_ncl_aug,
                                                 lvc_block_ncl_fh,
+                                                lvc_block_ncl_taug_sr,
                                                 wstack_t_from)
     use_fused = fusable(hop, mel.shape[1])
     # Under the plain "ncl" policy the separate taug head beats the
@@ -515,6 +521,12 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
             [fnn.conv_weight(cv) for cv in p["convs"]],
             [cv["b"] for cv in p["convs"]], dtype=dtype)
         interp = jax.default_backend() == "cpu"
+        if train_sr:
+            kern_taug = _kernel_predictor_apply_taug(
+                p["kernel_predictor"], cond, cfg, dtype)
+            return lvc_block_ncl_taug_sr(
+                x.astype(dtype), skip.astype(dtype), kern_taug.astype(dtype),
+                wstack_t_from(wstack).astype(dtype), hop, interp)
         if fused_head and 2 * cfg.inner_channels % 8 == 0:
             tap_c, w_head, b_head, _ = _taug_head_operands(
                 p["kernel_predictor"], cond, cfg, dtype)
@@ -546,7 +558,8 @@ def _lvc_block_apply_ncl(p: dict, x: jnp.ndarray, skip: jnp.ndarray,
 
 def _fastdiff_apply_ncl(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
                         t: jnp.ndarray, cfg: ModelConfig, dtype,
-                        fused_head: bool = False) -> jnp.ndarray:
+                        fused_head: bool = False,
+                        train_sr: bool = False) -> jnp.ndarray:
     """Full NCL (time-in-lanes) inference forward.
 
     Same math as ``fastdiff_apply``'s NWC path, but every activation is
@@ -557,8 +570,11 @@ def _fastdiff_apply_ncl(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
     only remaining NWC bridge is the non-fusable hop-8 block at T/32.
     Audio in/out stay (B, T, 1): the (B, T, 1)<->(B, 1, T) reshapes are
     byte-identical (C == 1), so the sampler is layout-agnostic.
-    Inference-only: the megakernel is called without a VJP wrapper
-    (training runs the NWC path — config.resolve_pallas_block)."""
+    Inference-only by default: the megakernel is called without a VJP
+    wrapper (training runs the NWC path — config.resolve_pallas_block).
+    With ``train_sr`` the fusable blocks run the saved-residual custom-VJP
+    kernel instead (the trainable "ncl_sr" route), the final conv stays a
+    standalone differentiable op, and everything else is native autodiff."""
     emb = diffusion_step_embedding(t, cfg.diffusion_step_embed_dim_in)
     emb = fnn.swish(fnn.dense(params["fc_t1"], emb))
     emb = fnn.swish(fnn.dense(params["fc_t2"], emb))      # (B, 512) f32
@@ -578,7 +594,7 @@ def _fastdiff_apply_ncl(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
 
     hops = cfg.cond_hop_lengths
     fw = fnn.conv_weight(params["final_conv"])
-    use_epilogue = fw.shape[0] == 7 and fw.shape[2] == 1
+    use_epilogue = fw.shape[0] == 7 and fw.shape[2] == 1 and not train_sr
     final_wb = None
     if use_epilogue:
         # (8, C): 7 final-conv taps + a bias row, consumed by the last
@@ -594,7 +610,8 @@ def _fastdiff_apply_ncl(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
         out = _lvc_block_apply_ncl(
             lvcb, x, skip, mel.astype(dtype), emb,
             cfg.upsample_ratios[n], hops[n], cfg, dtype,
-            final_wb=final_wb if last else None, fused_head=fused_head)
+            final_wb=final_wb if last else None, fused_head=fused_head,
+            train_sr=train_sr)
         if last and isinstance(out, (tuple, list)):
             return jnp.reshape(out[1], (b, length, 1))
         x = out
@@ -610,9 +627,11 @@ def fastdiff_apply(params: dict, audio: jnp.ndarray, mel: jnp.ndarray,
     Returns (B, T, 1). Requires T == T' * prod(upsample_ratios).
     """
     dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    if cfg.use_pallas_block in ("ncl", "ncl_fh"):
-        return _fastdiff_apply_ncl(params, audio, mel, t, cfg, dtype,
-                                   fused_head=cfg.use_pallas_block == "ncl_fh")
+    if cfg.use_pallas_block in ("ncl", "ncl_fh", "ncl_sr"):
+        return _fastdiff_apply_ncl(
+            params, audio, mel, t, cfg, dtype,
+            fused_head=cfg.use_pallas_block == "ncl_fh",
+            train_sr=cfg.use_pallas_block == "ncl_sr")
 
     emb = diffusion_step_embedding(t, cfg.diffusion_step_embed_dim_in)
     emb = fnn.swish(fnn.dense(params["fc_t1"], emb))

@@ -215,9 +215,22 @@ def _kernel_body(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
                  halo=halo)
 
 
+def _kernel_body_sr(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack,
+                    out_ref, s_ref, y_ref, z_ref, *, hop: int, layers: int,
+                    c: int, length: int, tile_s: int, halo: int):
+    """``_kernel_body`` + saved-residual emission for the training VJP:
+    per layer, the center slices of s (post skip-add, pre-leaky), y (the
+    post-conv post-leaky features feeding the LVC) and z (the pre-gate LVC
+    output) are written to HBM so the backward never recomputes the
+    forward (see ``lvc_block_ncl_taug_sr``)."""
+    _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
+                 hop=hop, layers=layers, c=c, length=length, tile_s=tile_s,
+                 halo=halo, res_refs=(s_ref, y_ref, z_ref))
+
+
 def _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
                  *, hop: int, layers: int, c: int, length: int,
-                 tile_s: int, halo: int, kern_slabs=None):
+                 tile_s: int, halo: int, kern_slabs=None, res_refs=None):
     ext_e = tile_s + 2 * halo
     fe = ext_e // hop
     ti = pl.program_id(1)
@@ -267,6 +280,12 @@ def _kernel_core(xc, lhx, rhx, skc, lhs, rhs, kc, lhk, rhk, wstack, out_ref,
                 preferred_element_type=jnp.float32))              # (2C, hop)
         z = jnp.concatenate(zs, axis=1)                           # (2C, E)
         gate = jax.nn.sigmoid(z[:c]) * jnp.tanh(z[c:])
+        if res_refs is not None:
+            s_ref, y_ref, z_ref = res_refs
+            ctr = slice(halo, halo + tile_s)
+            s_ref[0, i] = s[:, ctr]
+            y_ref[0, i] = y[:, ctr]
+            z_ref[0, i] = z[:, ctr].astype(s.dtype)
         carry = s + gate.astype(s.dtype)
 
     out_ref[0] = carry[:, halo: halo + tile_s]
@@ -306,15 +325,9 @@ def fusable(hop: int, n_frames: int) -> bool:
     return n_frames % hf == 0 and n_frames >= hf
 
 
-@functools.partial(jax.jit, static_argnames=("hop", "interpret",
-                                             "tile_frames"))
-def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
-                      interpret: bool = False,
-                      tile_frames: int | None = None,
-                      final_wb=None):
-    """Whole-LVC-block NCL megakernel.  With ``final_wb`` ((8, C): 7 final
-    conv taps + a bias row) the model's k=7 C->1 output projection runs as
-    an in-kernel epilogue and a second (B, 1, L) f32 output is returned."""
+def _aug_call_setup(x, kern_taug, wstack_t, hop, interpret, tile_frames):
+    """Tile/halo geometry + BlockSpecs shared by the aug-operand entries
+    (``lvc_block_ncl_aug`` and its saved-residual training twin)."""
     b, c, length = x.shape
     _, frames, layers, c2, rows = kern_taug.shape
     assert length == frames * hop, (length, frames, hop)
@@ -383,14 +396,31 @@ def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
                 k_spec, k_halo("l"), k_halo("r"), wspec]
     out_spec = pl.BlockSpec((1, c, tile_s), lambda bi, ti: (bi, 0, ti),
                             memory_space=pltpu.VMEM)
+    body_kw = dict(hop=hop, layers=layers, c=c, length=length,
+                   tile_s=tile_s, halo=halo)
+    return in_specs, out_spec, common, body_kw
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "interpret",
+                                             "tile_frames"))
+def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
+                      interpret: bool = False,
+                      tile_frames: int | None = None,
+                      final_wb=None):
+    """Whole-LVC-block NCL megakernel.  With ``final_wb`` ((8, C): 7 final
+    conv taps + a bias row) the model's k=7 C->1 output projection runs as
+    an in-kernel epilogue and a second (B, 1, L) f32 output is returned."""
+    b, c, length = x.shape
+    in_specs, out_spec, common, body_kw = _aug_call_setup(
+        x, kern_taug, wstack_t, hop, interpret, tile_frames)
+    tile_s = body_kw["tile_s"]
     if final_wb is not None:
         wfin_spec = pl.BlockSpec((8, c), lambda bi, ti: (0, 0),
                                  memory_space=pltpu.VMEM)
         fin_spec = pl.BlockSpec((1, 1, tile_s), lambda bi, ti: (bi, 0, ti),
                                 memory_space=pltpu.VMEM)
         return pl.pallas_call(
-            functools.partial(_kernel_body_final, hop=hop, layers=layers,
-                              c=c, length=length, tile_s=tile_s, halo=halo),
+            functools.partial(_kernel_body_final, **body_kw),
             in_specs=in_specs + [wfin_spec],
             out_specs=[out_spec, fin_spec],
             out_shape=[jax.ShapeDtypeStruct((b, c, length), x.dtype),
@@ -399,11 +429,52 @@ def lvc_block_ncl_aug(x, skip, kern_taug, wstack_t, hop: int,
         )(x, x, x, skip, skip, skip, kern_taug, kern_taug, kern_taug,
           wstack_t, final_wb)
     return pl.pallas_call(
-        functools.partial(_kernel_body, hop=hop, layers=layers, c=c,
-                          length=length, tile_s=tile_s, halo=halo),
+        functools.partial(_kernel_body, **body_kw),
         in_specs=in_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, c, length), x.dtype),
+        **common,
+    )(x, x, x, skip, skip, skip, kern_taug, kern_taug, kern_taug, wstack_t)
+
+
+@functools.partial(jax.jit, static_argnames=("hop", "interpret",
+                                             "tile_frames"))
+def lvc_block_ncl_aug_sr(x, skip, kern_taug, wstack_t, hop: int,
+                         interpret: bool = False,
+                         tile_frames: int | None = None):
+    """``lvc_block_ncl_aug`` twin that ALSO writes the per-layer residuals
+    the training backward needs: returns ``(out, s_all, y_all, z_all)`` with
+
+        s_all (B, layers, C, L):  layer input after the skip-add (pre-leaky)
+        y_all (B, layers, C, L):  post-conv post-leaky features (LVC input)
+        z_all (B, layers, 2C, L): pre-gate LVC output (f32 math, stored in
+                                  the activation dtype)
+
+    so ``lvc_block_ncl_taug_sr``'s backward runs from saved intermediates
+    instead of recomputing the unfused forward (the recompute is what made
+    the r3/r4 ``ncl_vjp`` route LOSE to the XLA route — 53.1 vs 49.7
+    ms/step, docs/PERF.md training attribution)."""
+    b, c, length = x.shape
+    layers = kern_taug.shape[2]
+    in_specs, out_spec, common, body_kw = _aug_call_setup(
+        x, kern_taug, wstack_t, hop, interpret, tile_frames)
+    tile_s = body_kw["tile_s"]
+
+    def res_spec(ch):
+        return pl.BlockSpec((1, layers, ch, tile_s),
+                            lambda bi, ti: (bi, 0, 0, ti),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel_body_sr, **body_kw),
+        in_specs=in_specs,
+        out_specs=[out_spec, res_spec(c), res_spec(c), res_spec(2 * c)],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c, length), x.dtype),
+            jax.ShapeDtypeStruct((b, layers, c, length), x.dtype),
+            jax.ShapeDtypeStruct((b, layers, c, length), x.dtype),
+            jax.ShapeDtypeStruct((b, layers, 2 * c, length), x.dtype),
+        ],
         **common,
     )(x, x, x, skip, skip, skip, kern_taug, kern_taug, kern_taug, wstack_t)
 
@@ -654,3 +725,119 @@ def _nat_bwd(hop, interpret, residuals, g):
 
 
 lvc_block_ncl.defvjp(_nat_fwd, _nat_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Saved-residual training entry (the "ncl_sr" route)
+# ---------------------------------------------------------------------------
+
+def _shift_l(a, k):
+    """NCL time shift with zero fill: out[..., l] = a[..., l - k] — the
+    global (full-array) semantics of the kernel's masked circular rolls and
+    of the reference's pad-and-slice taps."""
+    if k == 0:
+        return a
+    nd = a.ndim
+    if k > 0:
+        pad = [(0, 0)] * (nd - 1) + [(k, 0)]
+        return jnp.pad(a[..., : a.shape[-1] - k], pad)
+    pad = [(0, 0)] * (nd - 1) + [(0, -k)]
+    return jnp.pad(a[..., -k:], pad)
+
+
+def _sr_backward(kern_taug, wstack_t, s_all, y_all, z_all, g, hop):
+    """Manual NCL-layout backward of the 4-layer LVC block from saved
+    intermediates (no forward recompute, no layout oscillation: every
+    activation stays (B, C, L) time-minor, the per-frame contractions are
+    the transposes of the forward's MXU dots).
+
+    Math per layer i (forward, see _kernel_core):
+        s = carry + skip;  a = leaky(s)
+        y = leaky(W_i @ [shift(a,+d); a; shift(a,-d); ones])   d = 3**i
+        z[f] = K_if @ [shift(y,+1); y; shift(y,-1); ones][:, f*hop:(f+1)*hop]
+        carry' = s + sigmoid(z[:C]) * tanh(z[C:])
+    leaky' is recovered from the saved OUTPUT's sign (leaky is monotone and
+    sign-preserving), so pre-activation values need not be saved."""
+    b, layers, c, length = s_all.shape
+    rows = aug_rows(c)
+    f = length // hop
+    cdtype = s_all.dtype
+    ones = jnp.ones((b, 1, length), cdtype)
+    g = g.astype(jnp.float32)
+    dskip = jnp.zeros_like(g)
+    dk_layers, dw_layers = [], []
+    for i in reversed(range(layers)):
+        d = 3 ** i
+        s_i = s_all[:, i]
+        y_i = y_all[:, i]
+        z_i = z_all[:, i].astype(jnp.float32)
+        sg = jax.nn.sigmoid(z_i[:, :c])
+        th = jnp.tanh(z_i[:, c:])
+        dz = jnp.concatenate(
+            [g * th * sg * (1.0 - sg), g * sg * (1.0 - th * th)],
+            axis=1).astype(cdtype)                        # (B, 2C, L)
+        # LVC backward: per-frame transposed contractions
+        k_i = kern_taug[:, :, i, :, :rows]                # (B, F, 2C, R)
+        dz_r = dz.reshape(b, 2 * c, f, hop)
+        tap_y = jnp.concatenate(
+            [_shift_l(y_i, 1), y_i, _shift_l(y_i, -1), ones], axis=1)
+        tap_y_r = tap_y.reshape(b, rows, f, hop)
+        dk = jnp.einsum("bcfh,brfh->bfcr", dz_r, tap_y_r,
+                        preferred_element_type=jnp.float32)
+        dtap = jnp.einsum("bfcr,bcfh->brfh", k_i, dz_r,
+                          preferred_element_type=jnp.float32)
+        dtap = dtap.reshape(b, rows, length)
+        dy = (_shift_l(dtap[:, :c], -1) + dtap[:, c: 2 * c]
+              + _shift_l(dtap[:, 2 * c: 3 * c], 1))
+        dy_raw = (dy * jnp.where(y_i > 0, 1.0, 0.2)).astype(cdtype)
+        # dilated-conv backward
+        a_i = _leaky(s_i)
+        tap_a = jnp.concatenate(
+            [_shift_l(a_i, d), a_i, _shift_l(a_i, -d), ones], axis=1)
+        dtap_a = jnp.einsum("cr,bcl->brl", wstack_t[i], dy_raw,
+                            preferred_element_type=jnp.float32)
+        dw = jnp.einsum("bcl,brl->cr", dy_raw, tap_a,
+                        preferred_element_type=jnp.float32)
+        da = (_shift_l(dtap_a[:, :c], -d) + dtap_a[:, c: 2 * c]
+              + _shift_l(dtap_a[:, 2 * c: 3 * c], d))
+        ds = g + da * jnp.where(s_i > 0, 1.0, 0.2)
+        dskip = dskip + ds
+        g = ds                                            # d carry_{i-1}
+        dk_layers.append(dk)
+        dw_layers.append(dw)
+    dkern = jnp.stack(dk_layers[::-1], axis=2)            # (B, F, l, 2C, R)
+    if kern_taug.shape[-1] != rows:
+        dkern = jnp.pad(dkern, [(0, 0)] * 4
+                        + [(0, kern_taug.shape[-1] - rows)])
+    dwstack = jnp.stack(dw_layers[::-1], axis=0)
+    return (g.astype(cdtype), dskip.astype(cdtype),
+            dkern.astype(kern_taug.dtype), dwstack.astype(wstack_t.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def lvc_block_ncl_taug_sr(x, skip, kern_taug, wstack_t, hop: int,
+                          interpret: bool = False):
+    """Trainable NCL megakernel with a SAVED-RESIDUAL VJP: the forward is
+    the fused Pallas kernel emitting per-layer intermediates
+    (``lvc_block_ncl_aug_sr``), the backward is manual NCL math over the
+    saved arrays (``_sr_backward``) — unlike ``lvc_block_ncl`` /
+    ``lvc_block_ncl_nwc_taug`` there is NO unfused forward recompute in the
+    backward.  Inputs are the NCL operands: x, skip (B, C, L); kern_taug
+    (B, F, layers, 2C, 3C+1 or lane-padded); wstack_t (layers, C, 3C+1)."""
+    out, _, _, _ = lvc_block_ncl_aug_sr(x, skip, kern_taug, wstack_t, hop,
+                                        interpret=interpret)
+    return out
+
+
+def _sr_fwd(x, skip, kern_taug, wstack_t, hop, interpret):
+    out, s_all, y_all, z_all = lvc_block_ncl_aug_sr(
+        x, skip, kern_taug, wstack_t, hop, interpret=interpret)
+    return out, (kern_taug, wstack_t, s_all, y_all, z_all)
+
+
+def _sr_bwd(hop, interpret, residuals, g):
+    kern_taug, wstack_t, s_all, y_all, z_all = residuals
+    return _sr_backward(kern_taug, wstack_t, s_all, y_all, z_all, g, hop)
+
+
+lvc_block_ncl_taug_sr.defvjp(_sr_fwd, _sr_bwd)

@@ -536,7 +536,12 @@ def nearest_downsample_ncl(x: jnp.ndarray, factor: int) -> jnp.ndarray:
 
     (A strided-identity-conv variant also measured faster in isolation,
     0.116 vs 0.136 ms, but 0.27 ms/forward SLOWER in context — XLA's conv
-    emitter wins the isolated layout game but loses the fusion game.)"""
+    emitter wins the isolated layout game but loses the fusion game.)
+
+    ASSUMES FINITE INPUTS on the dot path (same caveat as the conv1d_ncl
+    merged-batch path): a NaN/Inf at a DROPPED position contracts as
+    0 * NaN = NaN into the kept output lane.  Inference activations are
+    finite by construction; the training path never routes here."""
     b, c, length = x.shape
     groups = 512
     if (b <= DOT_DOWNSAMPLE_MAX_B and length % groups == 0

@@ -5,6 +5,10 @@ grad clip + AdamW update) on the real chip, slope-timed, for each LVC-block
 training implementation:
 
 - xla:      the production path (shifted-matmul NWC convs)
+- ncl_sr:   full-NCL training forward + SAVED-RESIDUAL megakernel VJP
+            (ops/lvc_block_ncl.lvc_block_ncl_taug_sr — no forward
+            recompute in the backward; the r5 structural fix the training
+            trace attribution called for, docs/PERF.md)
 - ncl_vjp:  NCL megakernel forward + unfused-recompute backward
             (ops/lvc_block_ncl.lvc_block_ncl custom VJP)
 - nwc_vjp:  round-2 NWC megakernel forward + unfused-recompute backward
@@ -54,6 +58,7 @@ def main():
 
     variants = {
         "xla": ModelConfig(use_pallas_block=False),
+        "ncl_sr": ModelConfig(use_pallas_block="ncl_sr"),
         "ncl_vjp": ModelConfig(use_pallas_block="ncl_vjp"),
         "nwc_vjp": ModelConfig(use_pallas_block=True),
     }

@@ -256,6 +256,91 @@ def test_model_integration_ncl_vjp_trainable():
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_sr_forward_and_gradients_match_unfused():
+    """lvc_block_ncl_taug_sr (saved-residual training entry): forward must
+    match the unfused reference, and the MANUAL backward (_sr_backward, no
+    forward recompute) must match autodiff of the unfused reference for all
+    four differentiable operands."""
+    from fastdiff_tpu.ops.lvc_block_ncl import (aug_rows, kern_taug_from_aug,
+                                                lvc_block_ncl_taug_sr,
+                                                wstack_t_from)
+
+    b, f, hop, c = 2, 8, 64, 8
+    kw = _case(b, f, hop, c=c, seed=5)
+    L = f * hop
+    rows = aug_rows(c)
+    kflat = kw["kernels"].reshape(b, f, LAYERS, 3 * c, 2 * c)
+    kern_aug = jnp.concatenate([kflat, kw["biases"][..., None, :]], axis=3)
+    kern_taug = kern_taug_from_aug(kern_aug)
+    ws = jnp.stack([w.reshape(-1, w.shape[-1]) for w in kw["conv_ws"]])
+    wstack_t = wstack_t_from(
+        jnp.concatenate([ws, kw["conv_bs"][:, None, :]], axis=1))
+    x_ncl = jnp.swapaxes(kw["x"], 1, 2)
+    s_ncl = jnp.swapaxes(kw["skip"], 1, 2)
+
+    out = lvc_block_ncl_taug_sr(x_ncl, s_ncl, kern_taug, wstack_t, 64, True)
+    np.testing.assert_allclose(np.asarray(jnp.swapaxes(out, 1, 2)),
+                               np.asarray(_ref(kw, 64)),
+                               rtol=2e-5, atol=2e-5)
+
+    w_rand = jnp.asarray(np.random.default_rng(6).normal(size=(b, c, L)),
+                         jnp.float32)
+
+    def loss_sr(x_ncl, s_ncl, kt, wt):
+        o = lvc_block_ncl_taug_sr(x_ncl, s_ncl, kt, wt, 64, True)
+        return jnp.sum(o * w_rand)
+
+    def loss_ref(x_ncl, s_ncl, kt, wt):
+        ka = jnp.swapaxes(kt[..., :rows], -1, -2)
+        kk = ka[..., : 3 * c, :].reshape(b, f, LAYERS, 3, c, 2 * c)
+        bb = ka[..., 3 * c, :]
+        cw = jnp.swapaxes(wt, 1, 2)[:, : 3 * c].reshape(LAYERS, 3, c, c)
+        cb = jnp.swapaxes(wt, 1, 2)[:, 3 * c]
+        o = _unfused_reference(jnp.swapaxes(x_ncl, 1, 2),
+                               jnp.swapaxes(s_ncl, 1, 2), kk, bb, cw, cb, 64)
+        return jnp.sum(jnp.swapaxes(o, 1, 2) * w_rand)
+
+    args = (x_ncl, s_ncl, kern_taug, wstack_t)
+    g_sr = jax.grad(loss_sr, argnums=(0, 1, 2, 3))(*args)
+    g_rf = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(*args)
+    for a, r in zip(g_sr, g_rf):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_model_integration_ncl_sr_trainable():
+    """use_pallas_block='ncl_sr' (full-NCL training forward + saved-residual
+    VJP megakernel) matches the XLA forward and produces full-model
+    gradients matching the XLA path."""
+    from fastdiff_tpu.config import ModelConfig
+    from fastdiff_tpu.models.fastdiff import fastdiff_apply, init_fastdiff
+
+    kw = dict(inner_channels=32, cond_channels=80, upsample_ratios=(8, 8, 4),
+              compute_dtype="float32")
+    cfg = ModelConfig(**kw)
+    cfg_v = ModelConfig(use_pallas_block="ncl_sr", **kw)
+    params = init_fastdiff(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    frames = 8
+    audio = jnp.asarray(rng.normal(size=(1, frames * 256, 1)), jnp.float32)
+    mel = jnp.asarray(rng.normal(size=(1, frames, 80)), jnp.float32)
+    t = jnp.full((1, 1), 12.0, jnp.float32)
+    ref = fastdiff_apply(params, audio, mel, t, cfg)
+    out = fastdiff_apply(params, audio, mel, t, cfg_v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+    def loss(p, c):
+        return jnp.mean(fastdiff_apply(p, audio, mel, t, c) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(p, cfg))(params)
+    g_v = jax.grad(lambda p: loss(p, cfg_v))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_v)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)
+
+
 def test_model_integration_ncl_batched():
     """The full-NCL forward (B, C, L end to end) matches the NWC path at
     batch > 1 and bf16 compute (the production inference configuration)."""

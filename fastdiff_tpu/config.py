@@ -68,16 +68,14 @@ class ModelConfig:
             diffusion_step_embed_dim_mid=int(hp.get("diffusion_step_embed_dim_mid", 512)),
             diffusion_step_embed_dim_out=int(hp.get("diffusion_step_embed_dim_out", 512)),
             use_weight_norm=bool(hp.get("use_weight_norm", True)),
-            # 'auto'/'ncl' resolve at the *inference* entry points (see
+            # 'ncl'/'ncl_fh' resolve at the *inference* entry points (see
             # resolve_pallas_block / inference_model_config); the training
-            # config admits the trainable kernel routes only: True (the r2
+            # config admits the trainable kernel routes: True (the r2
             # NWC kernel, recompute VJP), "ncl_vjp" (NCL megakernel,
-            # recompute VJP) and "ncl_sr" (NCL megakernel, saved-residual
-            # VJP — no forward recompute in the backward)
-            use_pallas_block=(
-                hp.get("use_pallas_block")
-                if hp.get("use_pallas_block") in ("ncl_vjp", "ncl_sr")
-                else hp.get("use_pallas_block") is True),
+            # recompute VJP), "ncl_sr" (NCL megakernel, saved-residual
+            # VJP — no forward recompute in the backward), and "auto",
+            # which resolves backend-aware in resolve_train_block below.
+            use_pallas_block=resolve_train_block(hp),
             use_pallas_down=(hp.get("use_pallas_down", False) is True),
             compute_dtype=str(hp.get("compute_dtype", "bfloat16")),
             conv_impl=str(hp.get("conv_impl", "dot")),
@@ -99,8 +97,8 @@ def resolve_pallas_block(hp: dict):
     (its in-kernel (E, 32) tensors are lane-padded 4x) and is kept only
     for A/B. On CPU/GPU auto resolves to the XLA path (the kernel would
     only run in Mosaic interpret mode there). Explicit true/false/ncl
-    wins. Training always uses the XLA path regardless (both kernels'
-    VJPs recompute through XLA anyway).
+    wins. Training resolves separately via resolve_train_block (auto ->
+    "ncl_vjp" on TPU since the r5 route bench).
     """
     raw = hp.get("use_pallas_block", "auto")
     if isinstance(raw, str):
@@ -120,6 +118,39 @@ def resolve_pallas_block(hp: dict):
                 else False
         return low in ("1", "true", "yes", "on")
     return bool(raw)
+
+
+def resolve_train_block(hp: dict):
+    """Training-time policy for the LVC-block implementation.
+
+    Returns False (XLA shifted-matmul path), True (r2 NWC megakernel,
+    recompute VJP), "ncl_vjp" (NCL megakernel forward + recompute VJP)
+    or "ncl_sr" (NCL megakernel + saved-residual VJP).
+
+    ``use_pallas_block: auto`` (the config default) resolves to
+    **"ncl_vjp" on TPU**: the r5 four-route slope-timed bench of the full
+    jitted train step at the reference recipe (batch 20 x 25600,
+    scripts/bench_trainstep.py) measures ncl_vjp 28.4 ms/step vs
+    xla 50.0, ncl_sr 42.6, nwc_vjp 125.1, with loss parity to 2e-5
+    (docs/PERF.md). On CPU/GPU auto resolves to the XLA path (the
+    kernel would only run in Mosaic interpret mode there). Explicit
+    values win. Reference trains this module via torch autograd
+    (modules/FastDiff/task/FastDiff.py); the route concept is ours."""
+    raw = hp.get("use_pallas_block", "auto")
+    if raw is True:
+        return True
+    if isinstance(raw, str):
+        low = raw.strip().lower()
+        if low in ("ncl_vjp", "ncl_sr"):
+            return low
+        if low in ("auto", ""):
+            import jax
+            return ("ncl_vjp"
+                    if jax.default_backend() not in ("cpu", "gpu")
+                    else False)
+        if low in ("1", "true", "yes", "on"):
+            return True
+    return False
 
 
 def resolve_pallas_down(hp: dict) -> bool:

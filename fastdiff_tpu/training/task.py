@@ -135,7 +135,8 @@ class FastDiffTask:
 
         Inference-only path: the whole-block Pallas megakernel is enabled
         per the ``use_pallas_block: auto`` policy (config.py); training
-        (denoise_fn) always stays on the XLA path."""
+        (denoise_fn) routes per resolve_train_block — "ncl_vjp" on TPU,
+        XLA path on CPU/GPU (r5 four-route bench, docs/PERF.md)."""
         if self._param_apply_fn is None:
             if self.denoiser_type == "wavenet":
                 from fastdiff_tpu.models.wavenet import get_apply_fn

@@ -12,7 +12,7 @@ Questions the table answers:
   multiply_add fusions over param shapes — recognizable by size).
 
 Usage (ALONE on the TPU host): python scripts/exp_trace_train.py [route]
-route in {xla, ncl_vjp}
+route in {xla, ncl_vjp, ncl_sr}
 """
 
 import glob

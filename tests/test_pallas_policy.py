@@ -49,11 +49,13 @@ def test_inference_model_config_applies_both():
     assert out.use_pallas_block is False
 
 
-def test_training_config_keeps_xla_on_auto():
-    # from_hparams (the training path) only honors explicit True (the NWC
-    # kernel, which has a VJP); 'auto' stays on the XLA path and 'ncl' is
-    # inference-only (the full-NCL forward is VJP-less) — resolved at the
-    # inference entry points via inference_model_config
+def test_training_config_auto_is_backend_aware():
+    # from_hparams (the training path) resolves 'auto' backend-aware via
+    # resolve_train_block: on CPU (this suite) it stays on the XLA path —
+    # the megakernel would only run in Mosaic interpret mode; on TPU it
+    # resolves to "ncl_vjp", the winner of the r5 four-route train-step
+    # bench (28.4 ms/step vs xla 50.0, docs/PERF.md). 'ncl' is
+    # inference-only (no VJP) and coerces to the XLA path here.
     cfg = ModelConfig.from_hparams({"use_pallas_block": "auto",
                                     "use_pallas_down": "auto"})
     assert not cfg.use_pallas_block and not cfg.use_pallas_down
@@ -61,3 +63,10 @@ def test_training_config_keeps_xla_on_auto():
     assert cfg.use_pallas_block is False
     cfg = ModelConfig.from_hparams({"use_pallas_block": True})
     assert cfg.use_pallas_block is True
+    # explicit trainable-route strings pass through on any backend
+    cfg = ModelConfig.from_hparams({"use_pallas_block": "ncl_vjp"})
+    assert cfg.use_pallas_block == "ncl_vjp"
+    cfg = ModelConfig.from_hparams({"use_pallas_block": "ncl_sr"})
+    assert cfg.use_pallas_block == "ncl_sr"
+    cfg = ModelConfig.from_hparams({"use_pallas_block": "false"})
+    assert cfg.use_pallas_block is False
